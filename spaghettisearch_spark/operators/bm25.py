@@ -1,0 +1,225 @@
+"""Query-time scoring: BM25 (primary) and reference-exact tf-idf cosine.
+
+Spark shape of the reference's retrieval pipeline
+(/root/reference/retrieval/main_retrieve.go:17-103):
+
+    parse query (driver, tiny)                      main_retrieve.go:17-36
+    -> broadcast query-terms frame                  goroutine-per-term fan-out
+    -> join postings (term-pruned scan)             getFromInverted :204-247
+    -> per-posting contribution (BM25 or tf-idf)    term weights
+    -> groupBy(doc).pivot(field).sum                genAggrDocsPipeline :170-187
+    -> phrase candidates filter (phrase.py)         phrase.go
+    -> blend (w_pr, w_title, w_body) * 100          get_metadata.go:69
+    -> orderBy(score desc, doc_id asc).limit(k)     appendSort/truncate :94-103
+    -> hydrate doc_meta AFTER the limit             (we improve on the
+       reference, which hydrates every candidate:   get_metadata.go:21-74)
+
+Determinism: the reference's tie order depends on goroutine fan-in
+arrival (util.go:48-54); we impose the total order
+(score desc, doc_id asc).
+
+BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+      tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+      summed per field, duplicated query terms weighted by query tf.
+
+tf-idf cosine (reference-exact): posting weight = normTF*log2(N/df)
+(already materialized in the index), per-doc sum / (magnitude *
+sqrt(|q|)) with NaN->0 (get_metadata.go:53-66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.tokenize import parse_query
+from .index_build import FIELD_BODY, FIELD_TITLE, Index
+from .phrase import phrase_matches
+
+
+def _corpus_stats_map(index: Index) -> dict[str, tuple[int, float]]:
+    """{field: (n_docs, avgdl)} — tiny table, collected once."""
+    rows = index.corpus_stats.collect()
+    return {r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in rows}
+
+
+def _query_terms_df(spark: SparkSession, terms: list[str]):
+    """Free terms with multiplicity (duplicate query terms score twice,
+    matching the reference's per-occurrence accumulation)."""
+    from collections import Counter
+
+    counts = Counter(terms)
+    return spark.createDataFrame(
+        [(t, int(c)) for t, c in counts.items()], "term string, qtf int"
+    )
+
+
+def bm25_contrib_col(cfg: EngineConfig, n_docs: int, avgdl: float) -> F.Column:
+    """Per-posting BM25 contribution; expects columns tf, df, dl."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(cfg.k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(cfg.k1)
+        * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl") / F.lit(avgdl))
+    )
+    return idf * tf_norm
+
+
+def posting_hits(
+    index: Index, terms: list[str], cfg: EngineConfig
+) -> DataFrame:
+    """Postings restricted to the query terms, annotated with df and dl,
+    and a per-posting ``contrib`` column in the active scoring mode.
+
+    The ``term IN (...)`` filter is pushed to the scan (partition/file
+    pruning once postings are sharded by term bucket); term_stats and
+    doc_stats join by key. doc_stats is doc-keyed and big — but the
+    postings side is already term-pruned tiny, so AQE turns the join into
+    a broadcast of the pruned side.
+    """
+    hits = index.postings.filter(F.col("term").isin(list(set(terms))))
+    hits = hits.join(index.term_stats, ["term", "field"], "left")
+    hits = hits.join(index.doc_stats, ["doc_id", "field"], "left")
+    stats = _corpus_stats_map(index)
+    if cfg.scorer == "bm25":
+        # per-field avgdl/N
+        contrib = None
+        for field, (n_docs, avgdl) in stats.items():
+            c = bm25_contrib_col(cfg, n_docs, avgdl)
+            contrib = (
+                F.when(F.col("field") == field, c)
+                if contrib is None
+                else contrib.when(F.col("field") == field, c)
+            )
+        hits = hits.withColumn("contrib", contrib)
+    else:  # tfidf_cosine: the index already stores normTF*idf
+        hits = hits.withColumn("contrib", F.col("weight"))
+    return hits
+
+
+def score_per_doc(
+    spark: SparkSession,
+    index: Index,
+    free_terms: list[str],
+    phrases: list[list[str]],
+    cfg: EngineConfig,
+) -> DataFrame:
+    """-> (doc_id, title_rank, body_rank) over all candidate docs."""
+    parts: list[DataFrame] = []
+
+    if free_terms:
+        qdf = _query_terms_df(spark, free_terms)
+        hits = posting_hits(index, free_terms, cfg)
+        free = (
+            hits.join(F.broadcast(qdf), "term")
+            .select(
+                "doc_id",
+                "field",
+                (F.col("contrib") * F.col("qtf")).alias("contrib"),
+            )
+        )
+        parts.append(free)
+
+    for phrase in phrases:
+        # phrase docs contribute the sum of their terms' weights per field,
+        # only for docs containing the exact phrase (phrase.go:53-109)
+        matches = phrase_matches(spark, index, phrase, cfg)
+        parts.append(matches.select("doc_id", "field", "contrib"))
+
+    if not parts:
+        return spark.createDataFrame(
+            [], "doc_id string, title_rank double, body_rank double"
+        )
+
+    all_hits = parts[0]
+    for p in parts[1:]:
+        all_hits = all_hits.unionByName(p)
+
+    scored = (
+        all_hits.groupBy("doc_id")
+        .pivot("field", [FIELD_TITLE, FIELD_BODY])
+        .agg(F.sum("contrib"))
+        .select(
+            "doc_id",
+            F.coalesce(FIELD_TITLE, F.lit(0.0)).alias("title_rank"),
+            F.coalesce(FIELD_BODY, F.lit(0.0)).alias("body_rank"),
+        )
+    )
+
+    if cfg.scorer == "tfidf_cosine":
+        # cosine normalization: rank /= magnitude * sqrt(|q|), NaN/null -> 0
+        qlen = len(free_terms) + sum(len(p) for p in phrases)
+        norms = (
+            index.doc_norms.groupBy("doc_id")
+            .pivot("field", [FIELD_TITLE, FIELD_BODY])
+            .agg(F.first("magnitude"))
+            .select(
+                "doc_id",
+                F.col(FIELD_TITLE).alias("title_mag"),
+                F.col(FIELD_BODY).alias("body_mag"),
+            )
+        )
+        scored = scored.join(norms, "doc_id", "left")
+        for rank_c, mag_c in (("title_rank", "title_mag"), ("body_rank", "body_mag")):
+            v = F.col(rank_c) / (F.col(mag_c) * F.sqrt(F.lit(float(qlen))))
+            scored = scored.withColumn(
+                rank_c,
+                F.when(F.isnull(v) | F.isnan(v), F.lit(0.0)).otherwise(v),
+            )
+        scored = scored.drop("title_mag", "body_mag")
+    return scored
+
+
+def search(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    cfg: EngineConfig = DEFAULT,
+    pagerank: DataFrame | None = None,
+    k: int | None = None,
+    hydrate: bool = False,
+) -> DataFrame:
+    """Full query pipeline -> top-k (rank, doc_id, score, ...).
+
+    ``pagerank=None`` reproduces the reference's live behavior (its
+    topic-probability path is dead code, so PR contributes 0 —
+    SURVEY.md §3.1); passing a pagerank frame enables the blended
+    ranking the north rule asks for.
+    """
+    k = k or cfg.top_k
+    free_terms, phrase_lists = parse_query(
+        query, cfg.remove_stopwords, cfg.stem
+    )
+    scored = score_per_doc(spark, index, free_terms, phrase_lists, cfg)
+
+    if pagerank is not None:
+        scored = scored.join(
+            pagerank.select("doc_id", F.col("rank").alias("pr")), "doc_id", "left"
+        ).withColumn("pr", F.coalesce("pr", F.lit(0.0)))
+    else:
+        scored = scored.withColumn("pr", F.lit(0.0))
+
+    result = scored.select(
+        "doc_id",
+        "title_rank",
+        "body_rank",
+        F.col("pr").alias("pagerank"),
+        (
+            (
+                F.lit(cfg.w_pagerank) * F.col("pr")
+                + F.lit(cfg.w_title) * F.col("title_rank")
+                + F.lit(cfg.w_body) * F.col("body_rank")
+            )
+            * F.lit(cfg.blend_scale)
+        ).alias("score"),
+    )
+    topk = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if hydrate:
+        # metadata join AFTER the limit — broadcast the k-row side
+        topk = F.broadcast(topk).join(index.doc_meta, "doc_id", "left")
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk
