@@ -1,38 +1,856 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 search over the sf0.001 documents table.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data ops), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB ANSI-SQL mirrors. Tokenization for oracle-
+checked entries is the engine's exact pipeline minus Porter2 stemming
+(DuckDB has no stemmer); stemming correctness is covered by pytest
+golden pairs + the pandas oracle (tests/).
+
+Float outputs are scaled+rounded to integers (``*_e5``/``*_e9``) in BOTH
+engines so the driver's value-hash compares integers, not float reprs.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spaghettisearch_spark.config import EngineConfig
+from spaghettisearch_spark.functions.hashing import term_hash60_col, term_hash60_sql
+from spaghettisearch_spark.functions.tokenize import STOPWORDS, tokenize_col
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+CFG = EngineConfig(stem=False)  # oracle-checked entries: no stemming
+K1, B = CFG.k1, CFG.b
+BODY_W = CFG.w_body * CFG.blend_scale  # 29.0
+
+_SW_SQL = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+# token-list CTE: identical tokenization in DuckDB
+_TL = f"""
+tl AS (
+  SELECT doc_id,
+         md5(source || '/' || CAST(doc_id AS VARCHAR)) AS did,
+         list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           t -> t <> '' AND t NOT IN ({_SW_SQL})
+         ) AS toks
+  FROM documents
+)"""
+
+_TOKS = _TL + """,
+toks AS (
+  SELECT doc_id, did, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM tl
+)"""
+
+# BM25 (body field) score CTEs over a fixed term list
+def _bm25_sql(terms: list[str], k: int) -> str:
+    terms_sql = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS},
+tf AS (
+  SELECT did, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY did, term
+),
+dl AS (
+  SELECT did, len(toks)::BIGINT AS dl FROM tl
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT AVG(len(toks)) FROM tl) AS avgdl
+),
+df AS (
+  SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+hits AS (
+  SELECT tf.did,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM tf JOIN df USING (term) JOIN dl USING (did) CROSS JOIN stats s
+  WHERE tf.term IN ({terms_sql})
+),
+scored AS (
+  SELECT did, SUM(contrib) * {BODY_W} AS score FROM hits GROUP BY did
+)
+SELECT did, CAST(ROUND(score * 100000) AS BIGINT) AS score_e5
+FROM scored
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _did(c="doc_id"):
+    return F.md5(F.concat(F.col("source"), F.lit("/"), F.col(c).cast("string")))
+
+
+def _body_tokens(spark, sf_dir) -> DataFrame:
+    """(doc_id, did, pos, term) — pos is 1-based to match DuckDB
+    generate_subscripts."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            _did().alias("did"),
+            F.posexplode(tokenize_col("text", remove_stopwords=True)).alias(
+                "pos0", "term"
+            ),
+        )
+        .select("doc_id", "did", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _engine_index(spark: SparkSession, sf_dir: str):
+    """Engine index over the driver corpus (cached per sf_dir)."""
+    if sf_dir not in _INDEX_CACHE:
+        from spaghettisearch_spark.operators.index_build import build_index
+        from spaghettisearch_spark.sources.corpus import from_driver_documents
+
+        corpus = from_driver_documents(_docs(spark, sf_dir)).cache()
+        idx = build_index(corpus, CFG)
+        idx.postings.cache().count()
+        idx.doc_stats.cache()
+        idx.term_stats.cache()
+        _INDEX_CACHE[sf_dir] = idx
+    return _INDEX_CACHE[sf_dir]
+
+
+def _e(col, scale: int):
+    return F.round(F.col(col) * scale).cast("long")
+
+
+QUERY_TERMS = ["spark", "query", "scan"]
+PHRASE = ("value", "table")
+
+
+# ---------------------------------------------------------------------------
+# synthetic deterministic link graph over driver docs (for PageRank oracle)
+# ---------------------------------------------------------------------------
+
+def _edges(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    e1 = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
+    )
+    e2 = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 1) % n).alias("dst")
+    )
+    return e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+
+
+_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT COUNT(*) FROM documents) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 13 + 1) % (SELECT COUNT(*) FROM documents) AS dst FROM documents
+  ) WHERE src <> dst
+)"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tf_postings(spark, sf_dir):
+    return (
+        _body_tokens(spark, sf_dir)
+        .groupBy("did", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def q_doc_frequency(spark, sf_dir):
+    return (
+        q_tf_postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+
+
+def q_doc_lengths(spark, sf_dir):
+    return (
+        _body_tokens(spark, sf_dir)
+        .groupBy("did")
+        .agg(F.count("*").cast("long").alias("dl"))
+    )
+
+
+def q_tfidf_weights(spark, sf_dir):
+    """normTF * log2(N/df) — the reference's exact term weighting
+    (indexer.go:362, term_weighting.go:37)."""
+    tf = q_tf_postings(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()
+    w = Window.partitionBy("did")
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    out = (
+        tf.withColumn("max_tf", F.max("tf").over(w))
+        .join(df, "term")
+        .select(
+            "did",
+            "term",
+            F.round(
+                (F.col("tf") / F.col("max_tf"))
+                * F.log2(F.lit(float(n_docs)) / F.col("df"))
+                * 1e6
+            ).cast("long").alias("w_e6"),
+        )
+    )
+    return out
+
+
+def q_bm25_topk(spark, sf_dir):
+    from spaghettisearch_spark.operators.bm25 import search
+
+    idx = _engine_index(spark, sf_dir)
+    res = search(spark, idx, " ".join(QUERY_TERMS), CFG, k=20)
+    return res.select(F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5"))
+
+
+def q_wand_topk(spark, sf_dir):
+    from spaghettisearch_spark.operators.wand import wand_topk
+
+    idx = _engine_index(spark, sf_dir)
+    res = wand_topk(spark, idx, QUERY_TERMS, CFG, k=20, n_buckets=8)
+    return res.select(F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5"))
+
+
+def q_phrase_topk(spark, sf_dir):
+    from spaghettisearch_spark.operators.bm25 import search
+
+    idx = _engine_index(spark, sf_dir)
+    res = search(spark, idx, f'"{PHRASE[0]} {PHRASE[1]}"', CFG, k=20)
+    return res.select(
+        F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5")
+    )
+
+
+def q_vocab_prefix(spark, sf_dir):
+    return (
+        _body_tokens(spark, sf_dir)
+        .select("term")
+        .filter(F.col("term").startswith("s"))
+        .distinct()
+        .orderBy("term")
+    )
+
+
+def q_top_words_per_doc(spark, sf_dir):
+    tf = q_tf_postings(spark, sf_dir)
+    w = Window.partitionBy("did").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("did", "term", "tf", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def q_doc_sha256(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        _did().alias("did"), F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+def q_graph_out_degree(spark, sf_dir):
+    return _edges(spark, sf_dir).groupBy("src").agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+
+
+def q_pagerank_3iter(spark, sf_dir):
+    from spaghettisearch_spark.operators.pagerank import pagerank_step
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+    edges = (
+        _edges(spark, sf_dir)
+        .select(
+            F.col("src").cast("string").alias("src_doc"),
+            F.col("dst").cast("string").alias("dst_doc"),
+        )
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("src_doc")))
+    )
+    n = d.count()
+    ranks = d.select("doc_id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(3):
+        ranks = pagerank_step(ranks, edges, d, 0.75).localCheckpoint()
+    return ranks.select(
+        F.col("doc_id").cast("long").alias("node"), _e("rank", 10**9).alias("pr_e9")
+    )
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_e2"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long").alias("sum_disc_e2"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_q3_revenue_top10(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long").alias("revenue_e2")
+        )
+    )
+    return j.orderBy(F.desc("revenue_e2"), F.asc("l_orderkey")).limit(10)
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def q_region_supplier_counts(spark, sf_dir):
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal") * 100).cast("long").alias("avg_bal_e2"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            # string output: timestamp dtypes are ambiguous across engines
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("sum_value_e2"),
+        )
+    )
+
+
+def q_events_json_extract(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+def q_orders_rank_window(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_e2"),
+            "rn",
+        )
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir), "doc_id", "text").select(
+        "content_md5", "n_dupes", F.col("keep_id").cast("long").alias("keep_id")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import minhash_signatures
+
+    toks = _body_tokens(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "term"
+    ).distinct()
+    return minhash_signatures(toks, "id", 8).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("salt").cast("int").alias("salt"),
+        "minhash",
+    )
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    toks = _body_tokens(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "term"
+    ).distinct()
+    sigs = minhash_signatures(toks, "id", 8)
+    return lsh_candidate_pairs(sigs).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def q_simhash60(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import simhash60
+
+    tf = q_tf_postings(spark, sf_dir).select(
+        F.col("did").alias("id"), "term", "tf"
+    )
+    # join back to numeric doc_id for stable output
+    m = _docs(spark, sf_dir).select(_did().alias("id"), F.col("doc_id"))
+    return (
+        simhash60(tf, "id")
+        .join(m, "id")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
+    )
+
+
+def q_embedding_cosine_top10(spark, sf_dir):
+    from spaghettisearch_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    res = cosine_topk(emb, list(qv), k=10)
+    return res.select("vec_id", _e("cosine", 100000).alias("cos_e5"))
+
+
+def q_quality_stats(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import quality_stats
+
+    qs = quality_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return qs.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_chars",
+        "n_tokens",
+        "n_tokens_nostop",
+        _e("distinct_ratio", 10**6).alias("distinct_ratio_e6"),
+        _e("mean_token_len", 10**4).alias("mean_token_len_e4"),
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import bpe_ish_token_count
+
+    return bpe_ish_token_count(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").cast("long").alias("doc_id"), "n_bpe_tokens"
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import doc_fingerprint
+
+    toks = _body_tokens(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "pos", "term"
+    )
+    return doc_fingerprint(toks, "id", 3).select(
+        F.col("id").cast("long").alias("doc_id"), "fp_min", "fp_xor", "n_shingles"
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import jaccard_pairs, token_shingles
+
+    toks = _body_tokens(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "pos", "term"
+    )
+    sh = token_shingles(toks, "id", 3)
+    return jaccard_pairs(sh, threshold=0.2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _e("jaccard", 10**6).alias("jaccard_e6"),
+    )
+
+
+# --- rows-only entries (no SQL oracle; driver records weaker check) ------
+
+def q_porter2_stem_vocab(spark, sf_dir):
+    from spaghettisearch_spark.functions.stem_udf import stem_word_udf
+
+    vocab = _body_tokens(spark, sf_dir).select("term").distinct()
+    return vocab.select("term", stem_word_udf("term").alias("stem")).orderBy("term")
+
+
+def q_ann_srp_top10(spark, sf_dir):
+    from spaghettisearch_spark.operators.similarity import ann_topk_bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    res = ann_topk_bucketed(emb, list(qv), dim=len(qv), k=10, n_planes=6)
+    return res.select("vec_id", _e("cosine", 100000).alias("cos_e5"))
+
+
+def q_fixture_flagship(spark, sf_dir):
+    """Full engine semantics (stemming + phrase + field weights + anchor
+    credit + PageRank blend) on the self-generated fixture corpus —
+    covered by the pytest pandas-oracle; rows-only here."""
+    from spaghettisearch_spark.fixtures import make_documents
+    from spaghettisearch_spark.operators.bm25 import search
+    from spaghettisearch_spark.operators.index_build import build_index
+    from spaghettisearch_spark.operators.links import extract_links
+    from spaghettisearch_spark.operators.pagerank import compute_pagerank
+    from spaghettisearch_spark.sources.corpus import ingest
+
+    corpus = ingest(spark.createDataFrame(make_documents(200))).cache()
+    links = extract_links(corpus).cache()
+    idx = build_index(corpus, links=links)
+    pr = compute_pagerank(spark, corpus, links)
+    return search(spark, idx, '"hash table" parse', pagerank=pr, k=20, hydrate=True)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 multi-term top-k over sf0.001 documents via the
+    engine index (tokenize -> postings -> stats -> broadcast-join scoring
+    -> deterministic top-k)."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tf_postings": q_tf_postings,
+        "doc_frequency": q_doc_frequency,
+        "doc_lengths": q_doc_lengths,
+        "tfidf_weights": q_tfidf_weights,
+        "bm25_topk": q_bm25_topk,
+        "wand_topk": q_wand_topk,
+        "phrase_topk": q_phrase_topk,
+        "vocab_prefix": q_vocab_prefix,
+        "top_words_per_doc": q_top_words_per_doc,
+        "doc_sha256": q_doc_sha256,
+        "graph_out_degree": q_graph_out_degree,
+        "pagerank_3iter": q_pagerank_3iter,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_revenue_top10": q_q3_revenue_top10,
+        "customers_without_orders": q_customers_without_orders,
+        "region_supplier_counts": q_region_supplier_counts,
+        "events_hourly": q_events_hourly,
+        "events_json_extract": q_events_json_extract,
+        "orders_rank_window": q_orders_rank_window,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "simhash60": q_simhash60,
+        "embedding_cosine_top10": q_embedding_cosine_top10,
+        "quality_stats": q_quality_stats,
+        "bpe_token_count": q_bpe_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # rows-only (non-SQL-expressible) entries
+        "porter2_stem_vocab": q_porter2_stem_vocab,
+        "ann_srp_top10": q_ann_srp_top10,
+        "fixture_flagship": q_fixture_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h60 = term_hash60_sql  # shorthand
+    n_docs_sub = "(SELECT COUNT(*) FROM documents)"
+    sqls: dict[str, str] = {}
+
+    sqls["tf_postings"] = f"""
+WITH {_TOKS}
+SELECT did, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY did, term
+"""
+    sqls["doc_frequency"] = f"""
+WITH {_TOKS}, tf AS (SELECT did, term FROM toks GROUP BY did, term)
+SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+"""
+    sqls["doc_lengths"] = f"""
+WITH {_TL}
+SELECT did, len(toks)::BIGINT AS dl FROM tl
+"""
+    sqls["tfidf_weights"] = f"""
+WITH {_TOKS},
+tf AS (SELECT did, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY did, term),
+mx AS (SELECT did, MAX(tf)::DOUBLE AS max_tf FROM tf GROUP BY did),
+df AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.did, tf.term,
+       CAST(ROUND((tf.tf / mx.max_tf) * log2({n_docs_sub}::DOUBLE / df.df) * 1e6) AS BIGINT) AS w_e6
+FROM tf JOIN mx USING (did) JOIN df USING (term)
+"""
+    sqls["bm25_topk"] = _bm25_sql(QUERY_TERMS, 20)
+    sqls["wand_topk"] = _bm25_sql(QUERY_TERMS, 20)
+    t1, t2 = PHRASE
+    sqls["phrase_topk"] = f"""
+WITH {_TOKS},
+tf AS (SELECT did, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY did, term),
+dl AS (SELECT did, len(toks)::BIGINT AS dl FROM tl),
+stats AS (
+  SELECT {n_docs_sub}::DOUBLE AS n_docs, (SELECT AVG(len(toks)) FROM tl) AS avgdl
+),
+df AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+pdocs AS (
+  SELECT DISTINCT a.did
+  FROM toks a JOIN toks b ON a.did = b.did AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+),
+hits AS (
+  SELECT tf.did,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM tf JOIN df USING (term) JOIN dl USING (did) CROSS JOIN stats s
+  WHERE tf.term IN ('{t1}', '{t2}') AND tf.did IN (SELECT did FROM pdocs)
+),
+scored AS (SELECT did, SUM(contrib) * {BODY_W} AS score FROM hits GROUP BY did)
+SELECT did, CAST(ROUND(score * 100000) AS BIGINT) AS score_e5
+FROM scored ORDER BY score DESC, did ASC LIMIT 20
+"""
+    sqls["vocab_prefix"] = f"""
+WITH {_TOKS}
+SELECT DISTINCT term FROM toks WHERE term LIKE 's%' ORDER BY term
+"""
+    sqls["top_words_per_doc"] = f"""
+WITH {_TOKS},
+tf AS (SELECT did, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY did, term),
+r AS (
+  SELECT did, term, tf,
+         ROW_NUMBER() OVER (PARTITION BY did ORDER BY tf DESC, term ASC) AS rn
+  FROM tf
+)
+SELECT did, term, tf, rn::INT AS rn FROM r WHERE rn <= 3
+"""
+    sqls["doc_sha256"] = """
+SELECT md5(source || '/' || CAST(doc_id AS VARCHAR)) AS did, sha256(text) AS sha
+FROM documents
+"""
+    sqls["graph_out_degree"] = f"""
+WITH {_EDGES_SQL}
+SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src
+"""
+    sqls["pagerank_3iter"] = f"""
+WITH {_EDGES_SQL},
+outd AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT doc_id AS node FROM documents),
+r0 AS (SELECT node, 1.0 / {n_docs_sub} AS r FROM nodes),
+i1 AS (
+  SELECT e.dst AS node, SUM(0.75 * r0.r / o.outdeg) AS inh
+  FROM edges e JOIN r0 ON r0.node = e.src JOIN outd o ON o.src = e.src GROUP BY e.dst
+),
+raw1 AS (SELECT n.node, COALESCE(i1.inh, 0) + 0.25 AS raw FROM nodes n LEFT JOIN i1 USING (node)),
+r1 AS (SELECT node, raw / (SELECT SUM(raw) FROM raw1) AS r FROM raw1),
+i2 AS (
+  SELECT e.dst AS node, SUM(0.75 * r1.r / o.outdeg) AS inh
+  FROM edges e JOIN r1 ON r1.node = e.src JOIN outd o ON o.src = e.src GROUP BY e.dst
+),
+raw2 AS (SELECT n.node, COALESCE(i2.inh, 0) + 0.25 AS raw FROM nodes n LEFT JOIN i2 USING (node)),
+r2 AS (SELECT node, raw / (SELECT SUM(raw) FROM raw2) AS r FROM raw2),
+i3 AS (
+  SELECT e.dst AS node, SUM(0.75 * r2.r / o.outdeg) AS inh
+  FROM edges e JOIN r2 ON r2.node = e.src JOIN outd o ON o.src = e.src GROUP BY e.dst
+),
+raw3 AS (SELECT n.node, COALESCE(i3.inh, 0) + 0.25 AS raw FROM nodes n LEFT JOIN i3 USING (node)),
+r3 AS (SELECT node, raw / (SELECT SUM(raw) FROM raw3) AS r FROM raw3)
+SELECT node, CAST(ROUND(r * 1000000000) AS BIGINT) AS pr_e9 FROM r3
+"""
+    sqls["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_e2,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_e2,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    sqls["q3_revenue_top10"] = """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_e2
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_e2 DESC, l_orderkey ASC
+LIMIT 10
+"""
+    sqls["customers_without_orders"] = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+    sqls["region_supplier_counts"] = """
+SELECT r_name, COUNT(*)::BIGINT AS n_suppliers,
+       CAST(ROUND(AVG(s_acctbal) * 100) AS BIGINT) AS avg_bal_e2
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+    sqls["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*)::BIGINT AS n,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY 1, 2
+"""
+    sqls["events_json_extract"] = r"""
+SELECT event_type,
+       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
+       MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY event_type
+"""
+    sqls["orders_rank_window"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_e2,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_e2, rn::INT AS rn FROM r WHERE rn <= 2
+"""
+    sqls["dedup_exact"] = """
+SELECT md5(text) AS content_md5, COUNT(*)::BIGINT AS n_dupes,
+       MIN(doc_id)::BIGINT AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+    minhash_parts = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {s} AS salt, MIN({h60('term', f's{s}:')}) AS minhash "
+        f"FROM dtf GROUP BY doc_id"
+        for s in range(8)
+    )
+    sqls["minhash_signatures"] = f"""
+WITH {_TOKS},
+dtf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term)
+SELECT doc_id::BIGINT AS doc_id, salt::INT AS salt, minhash FROM ({minhash_parts})
+"""
+    sqls["lsh_candidate_pairs"] = f"""
+WITH {_TOKS},
+dtf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+sigs AS (SELECT doc_id, salt, minhash FROM ({minhash_parts}) )
+SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+FROM sigs a JOIN sigs b ON a.salt = b.salt AND a.minhash = b.minhash
+WHERE a.doc_id < b.doc_id
+"""
+    sqls["simhash60"] = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN ({h60('term')} >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id::BIGINT AS doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+    sqls["embedding_cosine_top10"] = """
+SELECT vec_id,
+       CAST(ROUND(list_cosine_similarity(
+         embedding::DOUBLE[],
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+       ) * 100000) AS BIGINT) AS cos_e5
+FROM embeddings
+ORDER BY list_cosine_similarity(
+  embedding::DOUBLE[],
+  (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC, vec_id ASC
+LIMIT 10
+"""
+    sqls["quality_stats"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS rt,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '' AND t NOT IN ({_SW_SQL})) AS ft
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, n_chars,
+       len(rt)::BIGINT AS n_tokens,
+       len(ft)::BIGINT AS n_tokens_nostop,
+       CAST(ROUND(len(list_distinct(rt))::DOUBLE / GREATEST(len(rt), 1) * 1e6) AS BIGINT) AS distinct_ratio_e6,
+       CAST(ROUND(list_sum(list_transform(rt, t -> length(t)))::DOUBLE / GREATEST(len(rt), 1) * 1e4) AS BIGINT) AS mean_token_len_e4
+FROM raw
+"""
+    sqls["bpe_token_count"] = r"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+    sqls["doc_fingerprint"] = f"""
+WITH {_TL},
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tl CROSS JOIN (SELECT unnest(range(1, 100000)) AS i)
+  WHERE i + 2 <= len(toks)
+),
+h AS (SELECT doc_id, {h60('shingle')} AS h FROM sh)
+SELECT doc_id::BIGINT AS doc_id, MIN(h) AS fp_min, bit_xor(h) AS fp_xor,
+       COUNT(*)::BIGINT AS n_shingles
+FROM h GROUP BY doc_id
+"""
+    sqls["ngram_jaccard_pairs"] = f"""
+WITH {_TL},
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tl CROSS JOIN (SELECT unnest(range(1, 100000)) AS i)
+  WHERE i + 2 <= len(toks)
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       CAST(ROUND(n_inter::DOUBLE / (sa.n + sb.n - n_inter) * 1e6) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.2
+"""
+    return sqls

@@ -1,0 +1,158 @@
+"""Benchmark runner (driver contract).
+
+Builds the full index over $SPARK_GRAFT_SF_DIR/documents.parquet on
+local[$SPARK_GRAFT_CPUS], runs the headline query set, and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "files_per_sec": ..., "query_p50_ms": ...}
+
+Extra env:
+    SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+    SPARK_GRAFT_CPUS     default 32
+    BENCH_REPS           query repetitions for p50 (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from spaghettisearch_spark.config import EngineConfig
+    from spaghettisearch_spark.operators.bm25 import search
+    from spaghettisearch_spark.operators.index_build import build_index
+    from spaghettisearch_spark.operators.wand import wand_topk
+    from spaghettisearch_spark.session import get_spark
+    from spaghettisearch_spark.sources.corpus import from_driver_documents
+
+    spark = get_spark("sss-bench", cores=cpus, shuffle_partitions=max(cpus, 16))
+    cfg = EngineConfig(stem=True)
+
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+
+    # ---- index build (ingest -> tokenize/stem -> postings -> stats) ----
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_files = docs.count()
+    t0 = time.time()
+    corpus = from_driver_documents(docs)
+    idx = build_index(corpus, cfg)
+    # materialize the index tables (cache = the queryable in-memory index)
+    idx.postings.cache().count()
+    idx.doc_stats.cache().count()
+    idx.term_stats.cache().count()
+    idx.corpus_stats.cache().count()
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 4)
+
+    # ---- PageRank over synthetic deterministic graph ----
+    from spaghettisearch_spark.operators.pagerank import compute_pagerank
+
+    t0 = time.time()
+    ids = docs.select(F.col("doc_id").cast("string").alias("path"))
+    links_df = (
+        docs.select(
+            F.md5(F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))).alias("src_doc"),
+            F.md5(
+                F.concat(
+                    F.col("source"),
+                    F.lit("/"),
+                    ((F.col("doc_id") * 7 + 3) % n_files).cast("string"),
+                )
+            ).alias("dst_doc"),
+        )
+        .filter(F.col("src_doc") != F.col("dst_doc"))
+        .withColumn("dst_exists", F.lit(True))
+        .withColumn("anchor_terms", F.array().cast("array<string>"))
+    )
+    pr = compute_pagerank(spark, corpus, links_df, cfg, max_iters=10)
+    pr.cache().count()
+    timings["pagerank_10iter"] = round(time.time() - t0, 4)
+
+    # ---- queries ----
+    qset = {
+        "q_single": lambda: search(spark, idx, "spark", cfg, k=50),
+        "q_multi": lambda: search(spark, idx, "spark query scan", cfg, k=50),
+        "q_hot": lambda: search(spark, idx, "table", cfg, k=50),
+        "q_phrase": lambda: search(spark, idx, '"value table"', cfg, k=50),
+        "q_phrase_terms": lambda: search(spark, idx, '"value table" spark', cfg, k=50),
+        "q_blended_pr": lambda: search(
+            spark, idx, "spark query", cfg, pagerank=pr, k=50
+        ),
+        "q_wand": lambda: wand_topk(
+            spark, idx, ["spark", "query", "scan"], cfg, k=50, n_buckets=cpus
+        ),
+    }
+    lat_ms: list[float] = []
+    for name, q in qset.items():
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            q().collect()
+            times.append(time.time() - t0)
+        timings[name] = round(min(times), 4)
+        lat_ms.extend(t * 1000 for t in times)
+
+    # ---- training-data ops ----
+    from spaghettisearch_spark.functions.tokenize import tokenize_col
+    from spaghettisearch_spark.operators.textops import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash60,
+    )
+
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(tokenize_col("text")).alias("pos", "term"),
+    )
+    t0 = time.time()
+    sigs = minhash_signatures(toks.select("id", "term").distinct(), "id", 8)
+    lsh_candidate_pairs(sigs).count()
+    timings["minhash_lsh"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    simhash60(tf, "id").count()
+    timings["simhash"] = round(time.time() - t0, 4)
+
+    from spaghettisearch_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    t0 = time.time()
+    cosine_topk(emb, list(qv), k=10).collect()
+    timings["ann_cosine_topk"] = round(time.time() - t0, 4)
+
+    total = time.time() - t_total0
+    out = {
+        "metric": "index_build+query_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_files": n_files,
+        "files_per_sec": round(n_files / build_sec, 2),
+        "query_p50_ms": round(statistics.median(lat_ms), 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,9 @@ class EngineConfig:
     damping: float = 0.75
     pr_epsilon: float = 1e-8  # reference uses 1e-20; unreachable in float64 at scale
     pr_max_iters: int = 30
-    pr_checkpoint_every: int = 4
+    # ranks are tiny next to the corpus; checkpointing every iteration
+    # bounds lineage AND feeds the per-iteration convergence check for free
+    pr_checkpoint_every: int = 1
 
     # posting shards
     n_shards: int = 32

@@ -1,0 +1,126 @@
+"""PageRank over the document link graph — iterative DataFrame joins
+with checkpointed lineage.
+
+Reference semantics (/root/reference/ranking/pagerank.go):
+  - node set = union of sources and targets, including dangling targets
+    (pagerank.go:24-44 unions table keys with every child list)
+  - init rank = 1/n (pagerank.go:97-101)
+  - contribution pass: rank[child] += d * rank[parent]/outdeg(parent)
+    (computeRankInherited, pagerank.go:126-145)
+  - normalize (rank + (1-d)) / total, where total = sum over nodes of
+    (rank + (1-d)) (updatePagerank, pagerank.go:111-117)
+  - iterate until L1 delta < eps (pagerank.go:115-119; reference eps
+    1e-20 with damping 0.75 from cmd/crawl/start_crawl.go:175)
+
+Spark shape: ranks ⋈ edges on src -> groupBy(dst).sum -> normalize.
+Each iteration is one shuffle; ``localCheckpoint`` every
+``pr_checkpoint_every`` iterations truncates the logical plan (without
+it the lineage doubles per iteration and Catalyst analysis time blows
+up long before data does). At cluster scale swap localCheckpoint for
+reliable ``checkpoint()`` on HDFS/object storage — the loop is
+structured so that is a one-line change; resumability across restarts
+comes from the build pipeline persisting ranks parquet per stage.
+
+Nodes with no outlinks ("dangling" in the PageRank sense) simply leak
+their mass each iteration, exactly as the reference does (it divides
+only parents' ranks among children); the (1-d) re-injection plus
+normalization keeps the distribution summing to 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+
+
+def pagerank_nodes(corpus: DataFrame, links: DataFrame) -> DataFrame:
+    """(doc_id) node set: every corpus doc ∪ every link endpoint
+    (reference unions stored keys with children, pagerank.go:24-44)."""
+    return (
+        corpus.select("doc_id")
+        .unionByName(links.select(F.col("src_doc").alias("doc_id")))
+        .unionByName(links.select(F.col("dst_doc").alias("doc_id")))
+        .distinct()
+    )
+
+
+def pagerank_step(
+    ranks: DataFrame, edges: DataFrame, nodes: DataFrame, damping: float
+) -> DataFrame:
+    """One power iteration -> new (doc_id, rank). ``edges`` must carry
+    (src_doc, dst_doc, outdeg)."""
+    contribs = (
+        ranks.join(edges, ranks["doc_id"] == edges["src_doc"])
+        .select(
+            F.col("dst_doc").alias("doc_id"),
+            (F.lit(damping) * F.col("rank") / F.col("outdeg")).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("inherited"))
+    )
+    raw = nodes.join(contribs, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce(F.col("inherited"), F.lit(0.0)) + F.lit(1.0 - damping)).alias(
+            "raw_rank"
+        ),
+    )
+    total = raw.agg(F.sum("raw_rank")).first()[0]
+    return raw.select("doc_id", (F.col("raw_rank") / F.lit(float(total))).alias("rank"))
+
+
+def compute_pagerank(
+    spark: SparkSession,
+    corpus: DataFrame,
+    links: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    max_iters: int | None = None,
+    epsilon: float | None = None,
+) -> DataFrame:
+    """-> (doc_id, rank), converged. One shuffle per iteration; lineage
+    truncated every cfg.pr_checkpoint_every iterations."""
+    damping = cfg.damping
+    epsilon = cfg.pr_epsilon if epsilon is None else epsilon
+    max_iters = cfg.pr_max_iters if max_iters is None else max_iters
+
+    nodes = pagerank_nodes(corpus, links).cache()
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "doc_id string, rank double")
+
+    # distinct edges with outdegree; parallel edges collapse (a page
+    # linking twice contributes once, matching the reference's child-set
+    # dedup, crawler.go:163-169)
+    edges = (
+        links.select("src_doc", "dst_doc")
+        .distinct()
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("src_doc")))
+        .cache()
+    )
+    edges.count()
+
+    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+
+    for it in range(max_iters):
+        new_ranks = pagerank_step(ranks, edges, nodes, damping)
+        if (it + 1) % cfg.pr_checkpoint_every == 0 or it == max_iters - 1:
+            new_ranks = new_ranks.localCheckpoint()
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "doc_id", "outer")
+            .select(
+                F.sum(
+                    F.abs(
+                        F.coalesce("rank", F.lit(0.0)) - F.coalesce("prev", F.lit(0.0))
+                    )
+                ).alias("d")
+            )
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < epsilon:
+            break
+
+    nodes.unpersist()
+    edges.unpersist()
+    return ranks

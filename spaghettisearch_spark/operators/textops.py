@@ -1,0 +1,267 @@
+"""Training-data text operators: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard), language & quality stats, token counting, fingerprints.
+
+These are the operations a 100 TB training-data pipeline runs over the
+corpus besides search indexing. All are pure DataFrame ops over a
+``tokens(id, pos, term)`` frame — no Python in the hot path. Hash
+identities come from functions/hashing.term_hash60 so every operator
+here has a bit-identical DuckDB oracle (see __spark_entry__.oracle_sql).
+
+Scale notes:
+  - MinHash signatures: one groupBy(id) over |salts| aggregates — the
+    classic map-side-combinable min; no skew (groups keyed by doc).
+  - LSH candidate pairs: self-join on (salt, minhash) buckets. Bucket
+    sizes are data-dependent; the join is restricted to bucket ids with
+    2+ members and deduped (a<b) before output. At scale, add a bucket
+    cardinality cap to drop degenerate buckets (all-identical docs).
+  - SimHash: explode 60 bit positions per (id, term) — constant 60x
+    expansion, partial aggregation keeps shuffle rows at
+    |ids| * 60 per partition.
+  - Shingle Jaccard: exact pairwise verification, intended for
+    LSH-candidate pairs or small corpora; the all-pairs form here is the
+    correctness oracle for the LSH path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import term_hash60_col
+
+
+def exact_dup_groups(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_md5, n_dupes, keep_id) — exact dedup by content hash,
+    deterministically keeping the smallest id."""
+    return (
+        documents.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_dupes"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    tokens: DataFrame, id_col: str = "id", n_hashes: int = 8
+) -> DataFrame:
+    """tokens(id, term) -> (id, salt, minhash): per-salt min over salted
+    60-bit term hashes. Set semantics (duplicate terms collapse in min)."""
+    salted = tokens.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("salt"),
+                    term_hash60_col("term", salt=f"s{s}:").alias("h"),
+                )
+                for s in range(n_hashes)
+            ])
+        ).alias("sh"),
+    ).select("id", F.col("sh.salt").alias("salt"), F.col("sh.h").alias("h"))
+    return salted.groupBy("id", "salt").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """(id_a, id_b) distinct pairs sharing at least one (salt, minhash)
+    band bucket, id_a < id_b. One-row-per-band signatures = band size 1."""
+    a = signatures.select(
+        F.col("salt"), F.col("minhash"), F.col("id").alias("id_a")
+    )
+    b = signatures.select(
+        F.col("salt"), F.col("minhash"), F.col("id").alias("id_b")
+    )
+    return (
+        a.join(b, ["salt", "minhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def token_shingles(tokens: DataFrame, id_col: str = "id", n: int = 3) -> DataFrame:
+    """tokens(id, pos, term) -> (id, shingle) distinct n-token shingles
+    (space-joined) over the position-ordered stream."""
+    grouped = tokens.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))),
+            lambda s: s["term"],
+        ).alias("toks")
+    )
+    shingled = grouped.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                ),
+            ).otherwise(F.array()),
+        ).alias("shingle"),
+    )
+    return shingled.distinct()
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold. If ``candidates`` (id_a, id_b) given, verify only those
+    (the LSH fast path); else all pairs sharing any shingle (exact path).
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    a = shingles.select(F.col("id").alias("id_a"), "shingle")
+    b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash60(tokens_tf: DataFrame, id_col: str = "id") -> DataFrame:
+    """tokens_tf(id, term, tf) -> (id, simhash long): 60-bit SimHash —
+    per bit, sign of the tf-weighted sum over term-hash bits."""
+    bits = tokens_tf.select(
+        F.col(id_col).alias("id"),
+        F.col("tf"),
+        term_hash60_col("term").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+    ).select(
+        "id",
+        "bit",
+        # shiftright with a Column shift amount needs the SQL form
+        F.expr(
+            "CASE WHEN shiftright(h, bit) & 1 = 1 THEN CAST(tf AS BIGINT) "
+            "ELSE -CAST(tf AS BIGINT) END"
+        ).alias("signed"),
+    )
+    return (
+        bits.groupBy("id", "bit")
+        .agg(F.sum("signed").alias("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def language_id_scores(
+    documents: DataFrame, id_col: str, text_col: str, profiles: dict[str, list[str]]
+) -> DataFrame:
+    """Heuristic language ID: score = fraction of a language's marker
+    terms present in the doc; winner by (score desc, lang asc).
+    ``profiles``: lang -> marker token list (deterministic, public)."""
+    from ..functions.tokenize import tokenize_col
+
+    toks = documents.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokenize_col(text_col, remove_stopwords=False)).alias("toks"),
+    )
+    scored = toks.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(lang).alias("lang"),
+                    (
+                        F.size(
+                            F.array_intersect(
+                                "toks", F.lit(markers).cast("array<string>")
+                            )
+                        )
+                        / F.lit(float(len(markers)))
+                    ).alias("score"),
+                )
+                for lang, markers in sorted(profiles.items())
+            ])
+        ).alias("ls"),
+    ).select("id", F.col("ls.lang").alias("lang"), F.col("ls.score").alias("score"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "lang", "score")
+    )
+
+
+def quality_stats(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality signals: char count, token count (with and without
+    stopwords), distinct-token ratio, punctuation ratio, mean token
+    length — the standard cheap pretraining-quality features."""
+    from ..functions.tokenize import tokenize_col
+
+    raw = tokenize_col(text_col, remove_stopwords=False)
+    filt = tokenize_col(text_col, remove_stopwords=True)
+    return documents.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(raw).cast("long").alias("n_tokens"),
+        F.size(filt).cast("long").alias("n_tokens_nostop"),
+        (F.size(F.array_distinct(raw)) / F.greatest(F.size(raw), F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+        (
+            (
+                F.length(text_col)
+                - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+            )
+            / F.greatest(F.length(text_col), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.aggregate(
+                raw,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t).cast("long"),
+            )
+            / F.greatest(F.size(raw), F.lit(1))
+        ).alias("mean_token_len"),
+    )
+
+
+def bpe_ish_token_count(
+    documents: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_bpe_tokens) — BPE-ish proxy: words plus standalone
+    punctuation marks, the usual pre-tokenizer regex."""
+    return documents.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0)
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def doc_fingerprint(tokens: DataFrame, id_col: str = "id", n: int = 3) -> DataFrame:
+    """(id, fp_min, fp_xor, n_shingles) — shingle-hash fingerprint
+    (winnowing-lite): min and xor of 60-bit shingle hashes."""
+    sh = token_shingles(tokens.withColumnRenamed(id_col, "id"), "id", n)
+    h = sh.select("id", term_hash60_col("shingle").alias("h"))
+    return h.groupBy("id").agg(
+        F.min("h").alias("fp_min"),
+        # xor-fold via bit_xor aggregate
+        F.expr("bit_xor(h)").alias("fp_xor"),
+        F.count("*").cast("long").alias("n_shingles"),
+    )

@@ -202,3 +202,34 @@ def oracle_search(
         [(i + 1, *r) for i, r in enumerate(rows)],
         columns=["rank", "doc_id", "score", "title_rank", "body_rank"],
     )
+
+
+def oracle_pagerank(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    damping: float = 0.75,
+    epsilon: float = 1e-8,
+    max_iters: int = 30,
+) -> dict[str, float]:
+    """Plain-Python power iteration mirroring ranking/pagerank.go:85-145:
+    init 1/n; rank[child] += d*rank[parent]/outdeg; normalize
+    (rank + (1-d)) / total; L1 convergence."""
+    node_set = set(nodes) | {s for s, _ in edges} | {t for _, t in edges}
+    n = len(node_set)
+    if n == 0:
+        return {}
+    edge_set = sorted(set(edges))
+    outdeg: Counter = Counter(s for s, _ in edge_set)
+    ranks = {d: 1.0 / n for d in node_set}
+    for _ in range(max_iters):
+        inherited: dict[str, float] = defaultdict(float)
+        for s, t in edge_set:
+            inherited[t] += damping * ranks[s] / outdeg[s]
+        raw = {d: inherited.get(d, 0.0) + (1.0 - damping) for d in node_set}
+        total = sum(raw.values())
+        new_ranks = {d: v / total for d, v in raw.items()}
+        delta = sum(abs(new_ranks[d] - ranks[d]) for d in node_set)
+        ranks = new_ranks
+        if delta < epsilon:
+            break
+    return ranks

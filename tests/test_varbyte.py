@@ -1,0 +1,82 @@
+"""Varbyte/delta codec round-trip + property tests, and shard-path
+equivalence to the uncompressed postings (SURVEY.md §5.2 item 1/3)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spaghettisearch_spark.operators.compression import (
+    delta_decode,
+    delta_encode,
+    vb_decode,
+    vb_encode,
+)
+
+
+def test_empty():
+    assert vb_encode(np.array([], dtype=np.int64)) == b""
+    assert len(vb_decode(b"")) == 0
+
+
+def test_simple_roundtrip():
+    vals = np.array([0, 1, 127, 128, 300, 2**20, 2**40, 2**62], dtype=np.int64)
+    assert (vb_decode(vb_encode(vals)) == vals).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+def test_vb_property(xs):
+    vals = np.array(xs, dtype=np.int64)
+    assert (vb_decode(vb_encode(vals)) == vals).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300)
+)
+def test_delta_vb_roundtrip_sorted(xs):
+    vals = np.array(sorted(xs), dtype=np.int64)
+    enc = vb_encode(delta_encode(vals))
+    assert (delta_decode(vb_decode(enc)) == vals).all()
+
+
+def test_shard_roundtrip_spark(spark, corpus_tiny):
+    """build shards -> decode -> identical (term, field, doc, tf, weight,
+    positions) multiset as the uncompressed postings."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.functions.hashing import term_hash60_col
+    from spaghettisearch_spark.operators.compression import (
+        build_posting_shards,
+        decode_shards,
+    )
+    from spaghettisearch_spark.operators.index_build import build_index
+
+    idx = build_index(corpus_tiny)
+    n_docs = corpus_tiny.count()
+    shards = build_posting_shards(idx.postings, n_docs)
+    decoded = decode_shards(shards)
+
+    orig = idx.postings.select(
+        "term",
+        "field",
+        term_hash60_col("doc_id").alias("doc_key"),
+        F.col("tf").cast("int").alias("tf"),
+        F.round("weight", 9).alias("weight"),
+        F.col("positions").cast("array<int>").alias("positions"),
+    )
+    got = decoded.select(
+        "term", "field", "doc_key", "tf", F.round("weight", 9).alias("weight"), "positions"
+    )
+    assert got.count() == orig.count()
+    assert got.exceptAll(orig).count() == 0
+    assert orig.exceptAll(got).count() == 0
+    # hot terms must be salted into multiple blocks
+    from spaghettisearch_spark.fixtures import HOT_TERMS
+
+    hot_blocks = shards.filter(
+        (F.col("term") == HOT_TERMS[0]) & (F.col("field") == "body")
+    ).count()
+    assert hot_blocks > 1

@@ -1,0 +1,59 @@
+"""WAND exactness: block-max WAND must return the same top-k as the
+exhaustive BM25 path on every fixture query (SURVEY.md §7 'WAND
+exactness')."""
+
+from __future__ import annotations
+
+import pytest
+
+from spaghettisearch_spark.config import DEFAULT
+from spaghettisearch_spark.functions.tokenize import parse_query
+from spaghettisearch_spark.operators.bm25 import search
+from spaghettisearch_spark.operators.wand import wand_topk
+
+TERM_QUERIES = [
+    "parse",
+    "parse buffer flush",
+    "dispatch",  # hot term: df ~ 80% — pruning actually engages
+    "zyzzyva",
+    "navigator",
+    "dispatch buffer kernel parse",  # all-hot multi-term
+    "qqqqqq",
+]
+
+
+def _exhaustive(spark, index_small, query, k, pagerank=None):
+    return search(spark, index_small, query, DEFAULT, pagerank=pagerank, k=k).collect()
+
+
+@pytest.mark.parametrize("query", TERM_QUERIES)
+def test_wand_matches_exhaustive(spark, index_small, query):
+    k = 20
+    terms, _ = parse_query(query)
+    want = _exhaustive(spark, index_small, query, k)
+    got = wand_topk(spark, index_small, terms, DEFAULT, k=k, n_buckets=4).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9, abs=1e-12)
+        assert g["title_rank"] == pytest.approx(w["title_rank"], rel=1e-9, abs=1e-12)
+        assert g["body_rank"] == pytest.approx(w["body_rank"], rel=1e-9, abs=1e-12)
+
+
+def test_wand_with_pagerank(spark, corpus_small, index_small):
+    from spaghettisearch_spark.operators.links import extract_links
+    from spaghettisearch_spark.operators.pagerank import compute_pagerank
+
+    pr = compute_pagerank(spark, corpus_small, extract_links(corpus_small)).cache()
+    terms, _ = parse_query("parse buffer")
+    want = _exhaustive(spark, index_small, "parse buffer", 15, pagerank=pr)
+    got = wand_topk(spark, index_small, terms, DEFAULT, k=15, pagerank=pr).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_wand_single_bucket_equals_many(spark, index_small):
+    terms, _ = parse_query("parse buffer flush")
+    a = wand_topk(spark, index_small, terms, DEFAULT, k=10, n_buckets=1).collect()
+    b = wand_topk(spark, index_small, terms, DEFAULT, k=10, n_buckets=16).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
