@@ -81,8 +81,22 @@ def posting_hits(
     postings side is already term-pruned tiny, so AQE turns the join into
     a broadcast of the pruned side.
     """
-    hits = index.postings.filter(F.col("term").isin(list(set(terms))))
-    hits = hits.join(index.term_stats, ["term", "field"], "left")
+    term_set = list(set(terms))
+    hits = index.postings.filter(F.col("term").isin(term_set))
+    if "bucket" in hits.columns:
+        # warehouse postings are partitioned by bucket = hash60(term) % n;
+        # deriving the buckets driver-side turns the term filter into
+        # partition pruning (only |terms| directories scanned)
+        from ..functions.hashing import term_hash60_py
+
+        buckets = sorted({term_hash60_py(t) % cfg.n_shards for t in term_set})
+        hits = hits.filter(F.col("bucket").isin(buckets))
+    if cfg.scorer == "bm25" and "bm25_weight" in hits.columns:
+        # warehouse-loaded postings carry precomputed BM25 impact weights
+        # (plans/build_pipeline.py) — no stats joins needed at query time
+        return hits.withColumn("contrib", F.col("bm25_weight"))
+    if "df" not in hits.columns:
+        hits = hits.join(index.term_stats, ["term", "field"], "left")
     hits = hits.join(index.doc_stats, ["doc_id", "field"], "left")
     stats = _corpus_stats_map(index)
     if cfg.scorer == "bm25":

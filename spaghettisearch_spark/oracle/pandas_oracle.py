@@ -39,6 +39,7 @@ class OracleIndex:
     n_docs: int = 0
     avgdl: dict = field(default_factory=dict)  # field -> avg dl
     doc_ids: list = field(default_factory=list)
+    max_tf: dict = field(default_factory=dict)  # (field, doc_id) -> max tf
 
 
 def extract_links_py(content: str, cfg: EngineConfig = DEFAULT):
@@ -97,6 +98,11 @@ def build_oracle_index(
     for fname in ("title", "body"):
         lens = [v for (f_, _), v in idx.dl.items() if f_ == fname]
         idx.avgdl[fname] = (sum(lens) / len(lens)) if lens else 0.0
+    for (fname, _term), dmap in idx.postings.items():
+        for did, (tf, _pos) in dmap.items():
+            key = (fname, did)
+            if tf > idx.max_tf.get(key, 0):
+                idx.max_tf[key] = tf
     return idx
 
 
@@ -117,12 +123,7 @@ def _tfidf_weight(idx: OracleIndex, fname: str, term: str, did: str):
     if entry is None:
         return 0.0
     tf, _ = entry
-    max_tf = max(
-        t for (f_, _t), docs in idx.postings.items()
-        if f_ == fname
-        for d, (t, _p) in docs.items()
-        if d == did
-    )
+    max_tf = idx.max_tf[(fname, did)]
     df = len(idx.postings[(fname, term)])
     return (tf / max_tf) * math.log2(idx.n_docs / df)
 
