@@ -123,7 +123,9 @@ def main() -> None:
     )
     t0 = time.time()
     sigs = minhash_signatures(toks.select("id", "term").distinct(), "id", 8)
-    lsh_candidate_pairs(sigs).count()
+    # scale path: cap degenerate buckets (the synthetic 24-word vocab makes
+    # most docs near-identical; uncapped pairs are the oracle entry's job)
+    lsh_candidate_pairs(sigs, max_bucket=200).count()
     timings["minhash_lsh"] = round(time.time() - t0, 4)
 
     t0 = time.time()

@@ -1,0 +1,127 @@
+"""User-facing engine facade — the reference's server surface, parity-
+shaped (/root/reference/cmd/server/server.go):
+
+  POST /query          -> SearchEngine.query(q)      (server.go:32-52)
+  GET /wordlist/{pre}  -> SearchEngine.wordlist(pre) (server.go:54-85)
+
+``query`` returns the reference's result-card fields
+(retrieval/util.go:56-92 resultFormat): url-analog (repo/path), title,
+score components, top-5 words, top-5 parents/children, snippet.
+A user of the reference can run every query they run today through this
+class; rank semantics are covered by the oracle tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT, EngineConfig
+from .functions.snippets import with_snippets
+from .functions.tokenize import parse_query
+from .operators.bm25 import search
+from .operators.index_build import Index, build_index
+from .operators.links import extract_links
+from .operators.pagerank import compute_pagerank
+from .operators.wand import wand_topk
+from .sources.corpus import ingest
+
+
+@dataclass
+class SearchEngine:
+    spark: SparkSession
+    index: Index
+    cfg: EngineConfig = field(default_factory=lambda: DEFAULT)
+    pagerank: DataFrame | None = None
+    corpus: DataFrame | None = None  # for snippets (content column)
+    links: DataFrame | None = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        documents: DataFrame,
+        cfg: EngineConfig = DEFAULT,
+        with_pagerank: bool = True,
+    ) -> "SearchEngine":
+        """One-call build from a raw (repo, path, commit, lang, content)
+        frame — the reference's ./bin/crawl analog for a static corpus."""
+        corpus = ingest(documents).cache()
+        links = extract_links(corpus, cfg).cache()
+        idx = build_index(corpus, cfg, links=links)
+        pr = (
+            compute_pagerank(spark, corpus, links, cfg).cache()
+            if with_pagerank
+            else None
+        )
+        return cls(
+            spark=spark, index=idx, cfg=cfg, pagerank=pr, corpus=corpus, links=links
+        )
+
+    # ------------------------------------------------------------------
+    def query_df(self, q: str, k: int | None = None, use_wand: bool = False) -> DataFrame:
+        """Top-k as a DataFrame (scores + metadata), snippets included
+        when the corpus is attached."""
+        k = k or self.cfg.top_k
+        terms, phrases = parse_query(q, self.cfg.remove_stopwords, self.cfg.stem)
+        if use_wand and not phrases and self.cfg.scorer == "bm25":
+            topk = wand_topk(
+                self.spark, self.index, terms, self.cfg, k=k, pagerank=self.pagerank
+            )
+            topk = F.broadcast(topk).join(self.index.doc_meta, "doc_id", "left")
+            topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        else:
+            topk = search(
+                self.spark, self.index, q, self.cfg,
+                pagerank=self.pagerank, k=k, hydrate=True,
+            )
+        if self.corpus is not None:
+            topk = topk.join(
+                self.corpus.select("doc_id", "content"), "doc_id", "left"
+            )
+            topk = with_snippets(topk, "content", terms, phrases).drop("content")
+        return topk
+
+    def query(self, q: str, k: int | None = None, use_wand: bool = False) -> list[dict]:
+        """Reference-JSON-shaped result cards (server.go:47-48 encodes
+        []Rank_combined)."""
+        rows = self.query_df(q, k, use_wand).collect()
+        out = []
+        for rank, r in enumerate(rows, 1):
+            d = r.asDict(recursive=True)
+            out.append(
+                {
+                    "rank": rank,
+                    "doc_id": d["doc_id"],
+                    "url": f"{d.get('repo', '')}/{d.get('path', '')}",
+                    "title": d.get("path"),
+                    "final_rank": d["score"],
+                    "title_rank": d["title_rank"],
+                    "body_rank": d["body_rank"],
+                    "pagerank": d.get("pagerank", 0.0),
+                    "page_size": d.get("page_size"),
+                    "mod_date": d.get("commit"),
+                    "top_words": d.get("top_words"),
+                    "snippet": d.get("snippet", ""),
+                    "content_sha256": d.get("content_sha256"),
+                }
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    def wordlist(self, prefix: str, limit: int = 100) -> list[str]:
+        """Vocabulary prefix search — reference GET /wordlist/{pre}
+        (IterateInv, database/database.go:414-454): one pruned scan of the
+        vocab table instead of O(vocab) point lookups."""
+        rows = (
+            self.index.vocab.filter(F.col("term").startswith(prefix.lower()))
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(limit)
+            .collect()
+        )
+        return [r["term"] for r in rows]

@@ -39,9 +39,15 @@ from .phrase import phrase_matches
 
 
 def _corpus_stats_map(index: Index) -> dict[str, tuple[int, float]]:
-    """{field: (n_docs, avgdl)} — tiny table, collected once."""
-    rows = index.corpus_stats.collect()
-    return {r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in rows}
+    """{field: (n_docs, avgdl)} — tiny table, collected once per index
+    (memoized on the Index object: one driver round-trip, not one per
+    query)."""
+    cached = getattr(index, "_stats_map", None)
+    if cached is None:
+        rows = index.corpus_stats.collect()
+        cached = {r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in rows}
+        index._stats_map = cached
+    return cached
 
 
 def _query_terms_df(spark: SparkSession, terms: list[str]):

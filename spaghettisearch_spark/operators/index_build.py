@@ -240,12 +240,26 @@ def build_index(
     corpus: DataFrame,
     cfg: EngineConfig = DEFAULT,
     links: DataFrame | None = None,
+    persist: bool = True,
 ) -> Index:
-    """Run the full logical build. All outputs are lazy DataFrames; the
-    materializing pipeline with checkpoints/lineage lives in
-    plans/build_pipeline.py."""
+    """Run the full logical build.
+
+    ``persist=True`` (in-memory/bench path) persists the two frames every
+    downstream table derives from — ``tokens`` (tokenize+stem is the
+    dominant cost; without this it runs once per consumer) and
+    ``postings`` — with MEMORY_AND_DISK so the build is one tokenize
+    pass, not three. The 100 TB path doesn't cache: each stage
+    materializes to parquet instead (plans/build_pipeline.py), which is
+    the same dedup of work with durability.
+    """
+    from pyspark import StorageLevel
+
     tokens = tokenize_fields(corpus, cfg, links)
+    if persist:
+        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
     postings = build_postings(tokens)
+    if persist:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     doc_stats = build_doc_stats(tokens)
     term_stats = build_term_stats(postings)
     corpus_stats = build_corpus_stats(corpus, doc_stats)

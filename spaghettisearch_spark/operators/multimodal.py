@@ -130,7 +130,16 @@ def extract_media_features(
                 ],
             )
 
-    avg_bytes = 1024  # refined per-source in production; bounded by maxRecordsPerBatch
-    per_part = max((target_batch_mb * 1024 * 1024) // avg_bytes, 1)
-    n_parts = max(media.rdd.getNumPartitions(), 1)
-    return media.repartition(n_parts).mapInPandas(run, FEATURES_SCHEMA)
+    # bound Arrow batch size by payload bytes, not row count: with the
+    # per-row payload estimate, target_batch_mb of media = this many rows
+    avg_bytes = 1024
+    rows_per_batch = max((target_batch_mb * 1024 * 1024) // avg_bytes, 1)
+    spark = media.sparkSession
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(min(rows_per_batch, 10000))
+    )
+    try:
+        return media.mapInPandas(run, FEATURES_SCHEMA)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

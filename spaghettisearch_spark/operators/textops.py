@@ -63,15 +63,28 @@ def minhash_signatures(
     return salted.groupBy("id", "salt").agg(F.min("h").alias("minhash"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """(id_a, id_b) distinct pairs sharing at least one (salt, minhash)
-    band bucket, id_a < id_b. One-row-per-band signatures = band size 1."""
-    a = signatures.select(
-        F.col("salt"), F.col("minhash"), F.col("id").alias("id_a")
-    )
-    b = signatures.select(
-        F.col("salt"), F.col("minhash"), F.col("id").alias("id_b")
-    )
+    band bucket, id_a < id_b. One-row-per-band signatures = band size 1.
+
+    ``max_bucket`` drops degenerate buckets (more than that many members)
+    before the self-join — at corpus scale a bucket of B docs emits
+    B^2/2 pairs, so near-identical boilerplate (license headers, vendored
+    files) would otherwise explode the join. Dropped buckets are exactly
+    the ones exact-dedup already catches cheaply."""
+    sigs = signatures
+    if max_bucket is not None:
+        ok = (
+            sigs.groupBy("salt", "minhash")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("salt", "minhash")
+        )
+        sigs = sigs.join(ok, ["salt", "minhash"], "left_semi")
+    a = sigs.select(F.col("salt"), F.col("minhash"), F.col("id").alias("id_a"))
+    b = sigs.select(F.col("salt"), F.col("minhash"), F.col("id").alias("id_b"))
     return (
         a.join(b, ["salt", "minhash"])
         .filter(F.col("id_a") < F.col("id_b"))
