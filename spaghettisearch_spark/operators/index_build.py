@@ -263,8 +263,26 @@ def build_index(
     doc_stats = build_doc_stats(tokens)
     term_stats = build_term_stats(postings)
     corpus_stats = build_corpus_stats(corpus, doc_stats)
-    n_docs = corpus_stats.select(F.first("n_docs")).first()[0]
-    weighted = build_tfidf_weights(postings, term_stats, int(n_docs))
+    stats_rows = corpus_stats.collect()
+    n_docs = int(stats_rows[0]["n_docs"])
+    weighted = build_tfidf_weights(postings, term_stats, n_docs)
+    # precompute BM25 impact weights at build time (same as the parquet
+    # pipeline): query-time scoring becomes filter+broadcast-join+agg
+    # with NO stats joins
+    from .bm25 import bm25_contrib_col
+
+    weighted = weighted.join(term_stats, ["term", "field"]).join(
+        doc_stats, ["doc_id", "field"]
+    )
+    contrib = None
+    for r in stats_rows:
+        c = bm25_contrib_col(cfg, int(r["n_docs"]), float(r["avgdl"]))
+        contrib = (
+            F.when(F.col("field") == r["field"], c)
+            if contrib is None
+            else contrib.when(F.col("field") == r["field"], c)
+        )
+    weighted = weighted.withColumn("bm25_weight", contrib).drop("dl")
     return Index(
         tokens=tokens,
         postings=weighted,

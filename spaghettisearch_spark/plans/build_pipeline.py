@@ -170,6 +170,12 @@ def build_all(
         input_fingerprint=fp,
     )
     if with_shards:
+        # skew telemetry: hottest terms by df -> lineage (SURVEY.md §4.3)
+        top_skew = [
+            {"term": r["term"], "field": r["field"], "df": int(r["df"])}
+            for r in term_stats.orderBy(F.desc("df")).limit(10).collect()
+        ]
+        salt_threshold = max(int(cfg.salt_df_threshold * n_docs), 1)
         stage(
             "posting_shards",
             lambda: build_posting_shards(
@@ -181,6 +187,11 @@ def build_all(
             input_fingerprint=fp,
             partition_by=["shard"],
             sort_by=["term", "field", "salt"],
+            extra_metrics={
+                "skew_top10_terms": top_skew,
+                "salt_df_threshold": salt_threshold,
+                "n_salts": cfg.n_salts,
+            },
         )
     if with_pagerank:
         stage(

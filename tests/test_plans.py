@@ -1,0 +1,81 @@
+"""Physical-plan quality gates — the scale properties asserted, not
+assumed: pushdown, partition pruning, column pruning, no row-at-a-time
+Python UDFs anywhere in the engine."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+
+SRC = Path(__file__).resolve().parent.parent / "spaghettisearch_spark"
+
+
+@pytest.fixture(scope="module")
+def wh_index(spark, docs_tiny, tmp_path_factory):
+    from spaghettisearch_spark.plans.build_pipeline import build_all
+
+    wh = str(tmp_path_factory.mktemp("wh_plans"))
+    built = build_all(
+        spark, spark.createDataFrame(docs_tiny), wh,
+        with_pagerank=False, with_shards=False,
+    )
+    return built.load(spark)
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_term_filter_pushed_and_partitions_pruned(spark, wh_index):
+    from spaghettisearch_spark.operators.bm25 import search
+
+    plan = _formatted_plan(spark, search(spark, wh_index, "parse buffer", k=10))
+    assert re.search(r"PushedFilters:.*In\(term", plan), "term filter not pushed"
+    assert re.search(r"PartitionFilters:.*bucket.*IN", plan), "no bucket pruning"
+
+
+def test_positions_not_read_for_term_queries(spark, wh_index):
+    from spaghettisearch_spark.operators.bm25 import search
+
+    plan = _formatted_plan(spark, search(spark, wh_index, "parse buffer", k=10))
+    scan_schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert scan_schemas, "no parquet scans found"
+    for s in scan_schemas:
+        assert "positions" not in s, f"positions read for a non-phrase query: {s}"
+
+
+def test_positions_read_only_for_phrase(spark, wh_index):
+    from spaghettisearch_spark.operators.bm25 import search
+
+    plan = _formatted_plan(spark, search(spark, wh_index, '"hash table"', k=10))
+    assert "positions" in plan
+
+
+def test_topk_is_take_ordered(spark, wh_index):
+    from spaghettisearch_spark.operators.bm25 import search
+
+    plan = _formatted_plan(spark, search(spark, wh_index, "parse", k=10))
+    assert "TakeOrderedAndProject" in plan, "top-k did not plan as TakeOrdered"
+
+
+def test_no_row_at_a_time_udfs():
+    """North rule: vectorized pandas/Arrow UDFs only. Greps the engine
+    source for row-at-a-time udf registrations (SURVEY.md §5.2)."""
+    bad = []
+    for p in SRC.rglob("*.py"):
+        text = p.read_text()
+        # F.udf( / @udf( / spark.udf.register with a plain function
+        if re.search(r"(?<!pandas_)\budf\s*\(", text.replace("pandas_udf", "P_")):
+            bad.append(str(p))
+    assert not bad, f"row-at-a-time UDFs found: {bad}"
+
+
+def test_broadcast_in_query_join(spark, wh_index):
+    from spaghettisearch_spark.operators.bm25 import search
+
+    plan = _formatted_plan(spark, search(spark, wh_index, "parse buffer", k=10))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
