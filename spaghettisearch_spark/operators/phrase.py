@@ -45,13 +45,47 @@ def phrase_matches(
     """
     from .bm25 import posting_hits
 
+    hits = posting_hits(index, phrase, cfg)
+    return phrase_matches_from_hits(spark, hits, phrase)
+
+
+def phrase_matches_from_shards(
+    spark: SparkSession,
+    shards,
+    doc_map,
+    phrase: list[str],
+    cfg: EngineConfig,
+):
+    """Phrase matching straight off the compressed shards: pruned scan ->
+    varbyte position decode -> offset-adjust -> intersect. ``contrib`` is
+    the stored impact weight (bm25 path)."""
+    from ..functions.hashing import term_hash60_py
+    from .compression import decode_shards
+
+    pruned = shards.filter(F.col("term").isin(sorted(set(phrase))))
+    if "shard" in shards.columns:
+        shard_ids = sorted({term_hash60_py(t) % cfg.n_shards for t in set(phrase)})
+        pruned = pruned.filter(F.col("shard").isin(shard_ids))
+    decoded = decode_shards(pruned).join(doc_map, "doc_key")
+    hits = decoded.select(
+        "term", "field", "doc_id", "positions", F.col("weight").alias("contrib")
+    )
+    return phrase_matches_from_hits(spark, hits, phrase)
+
+
+def phrase_matches_from_hits(
+    spark: SparkSession,
+    hits,
+    phrase: list[str],
+):
+    """Shared tail: ``hits`` carries (term, field, doc_id, positions,
+    contrib) for the phrase terms."""
     n = len(phrase)
     qdf = spark.createDataFrame(
         [(i, t) for i, t in enumerate(phrase)], "term_idx int, term string"
     )
 
-    hits = posting_hits(index, phrase, cfg).join(F.broadcast(qdf), "term")
-    adj = hits.select(
+    adj = hits.join(F.broadcast(qdf), "term").select(
         "doc_id",
         "field",
         "term_idx",

@@ -198,6 +198,20 @@ def wand_topk(
     )
 
     hits = posting_hits(index, list(counts), cfg).join(F.broadcast(qdf), "term")
+    return _wand_from_hits(spark, hits, len(counts), cfg, k, n_buckets, pagerank)
+
+
+def _wand_from_hits(
+    spark: SparkSession,
+    hits: DataFrame,
+    n_qterms: int,
+    cfg: EngineConfig,
+    k: int,
+    n_buckets: int,
+    pagerank: DataFrame | None,
+) -> DataFrame:
+    """Shared tail of the WAND paths: ``hits`` must carry
+    (doc_id, field, qterm_id, qtf, contrib)."""
     # blended per-posting impact: field weight folded in, so the WAND
     # kernel maximizes the FINAL blended score directly
     fw = (
@@ -229,7 +243,6 @@ def wand_topk(
             F.sum("body_c").alias("body_c"),
         )
     )
-    n_qterms = len(counts)
     if pagerank is not None:
         # exact PR blending: PR becomes one more WAND term, present for
         # every candidate doc — its bucket max feeds the upper bounds, so
@@ -276,3 +289,73 @@ def wand_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def wand_topk_from_shards(
+    spark: SparkSession,
+    shards: DataFrame,
+    doc_map: DataFrame,
+    query_terms: list[str],
+    cfg: EngineConfig = DEFAULT,
+    k: int | None = None,
+    n_buckets: int = 16,
+    pagerank: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k straight from the compressed posting shards: pruned
+    shard scan -> varbyte decode (mapInPandas) -> block-max WAND.
+
+    This is the north-rule query path at scale: the scan touches only
+    the |terms| shard partitions (``shard = hash60(term) % n_shards``
+    derived driver-side) and only the query terms' block rows inside
+    them; everything else never leaves parquet.
+
+    ``doc_map`` is (doc_key long, doc_id string) — built from the corpus
+    with ``term_hash60_col(doc_id)``. Only candidate doc_keys join it.
+    At 10^12-doc scale swap the 60-bit hash key for a dense doc index
+    assigned at ingest; the join shape is identical (collisions at 60
+    bits merge postings of distinct docs — detectable by comparing
+    count(distinct doc_key) to count(distinct doc_id) at build).
+    """
+    from collections import Counter
+
+    from ..functions.hashing import term_hash60_py
+    from .compression import decode_shards
+
+    if cfg.scorer != "bm25":
+        raise ValueError("shard-backed WAND requires bm25 impact weights")
+    k = k or cfg.top_k
+    if not query_terms:
+        return spark.createDataFrame(
+            [], "doc_id string, title_rank double, body_rank double, "
+            "pagerank double, score double"
+        )
+    counts = Counter(query_terms)
+    term_list = sorted(counts)
+    shard_ids = sorted({term_hash60_py(t) % cfg.n_shards for t in term_list})
+    pruned = shards.filter(F.col("term").isin(term_list))
+    if "shard" in shards.columns:
+        pruned = pruned.filter(F.col("shard").isin(shard_ids))
+
+    decoded = decode_shards(pruned)  # term, field, doc_key, tf, weight, positions
+    qdf = spark.createDataFrame(
+        [(t, i, float(counts[t])) for i, t in enumerate(term_list)],
+        "term string, qterm_id int, qtf double",
+    )
+    hits = (
+        decoded.join(F.broadcast(qdf), "term")
+        .join(doc_map, "doc_key")
+        .select(
+            "doc_id", "field", "qterm_id", "qtf",
+            F.col("weight").alias("contrib"),
+        )
+    )
+    return _wand_from_hits(spark, hits, len(counts), cfg, k, n_buckets, pagerank)
+
+
+def build_doc_map(corpus: DataFrame) -> DataFrame:
+    """(doc_key, doc_id) dimension for shard-backed queries."""
+    from ..functions.hashing import term_hash60_col
+
+    return corpus.select(
+        term_hash60_col("doc_id").alias("doc_key"), "doc_id"
+    ).distinct()

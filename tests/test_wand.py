@@ -57,3 +57,29 @@ def test_wand_single_bucket_equals_many(spark, index_small):
     a = wand_topk(spark, index_small, terms, DEFAULT, k=10, n_buckets=1).collect()
     b = wand_topk(spark, index_small, terms, DEFAULT, k=10, n_buckets=16).collect()
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+
+def test_wand_from_shards_matches_exhaustive(spark, corpus_small, index_small):
+    """North-rule query path: pruned shard scan -> varbyte decode ->
+    WAND == exhaustive DataFrame scoring."""
+    from spaghettisearch_spark.operators.compression import build_posting_shards
+    from spaghettisearch_spark.operators.wand import build_doc_map, wand_topk_from_shards
+    from pyspark.sql import functions as F
+
+    n_docs = corpus_small.count()
+    shards = build_posting_shards(
+        index_small.postings.withColumn("weight", F.col("bm25_weight")),
+        n_docs,
+        DEFAULT,
+    ).cache()
+    doc_map = build_doc_map(corpus_small).cache()
+    for query in ["parse", "parse buffer flush", "dispatch"]:
+        terms, _ = parse_query(query)
+        want = _exhaustive(spark, index_small, query, 15)
+        got = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=15, n_buckets=4
+        ).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+    shards.unpersist(); doc_map.unpersist()
