@@ -331,6 +331,54 @@ def q_q3_revenue_top10(spark, sf_dir):
     return j.orderBy(F.desc("revenue_e2"), F.asc("l_orderkey")).limit(10)
 
 
+def q_q5_supplier_volume(spark, sf_dir):
+    """Q5-style multi-way join: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    nation ⋈ region, revenue per nation — broadcast dims, one fact scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long").alias("revenue_e2"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """GROUPING SETS over events: (type), (type, day), and grand total —
+    the cube/rollup family the reference lacks and Spark gives free."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    ev.createOrReplaceTempView("ev_rollup")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(day, '<all>') AS day,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_e2
+        FROM ev_rollup
+        GROUP BY GROUPING SETS ((event_type), (event_type, day), ())
+        """
+    ).select(
+        "event_type", "day", F.col("n").cast("long").alias("n"), "sum_value_e2"
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -572,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_3iter": q_pagerank_3iter,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_revenue_top10": q_q3_revenue_top10,
+        "q5_supplier_volume": q_q5_supplier_volume,
+        "events_rollup": q_events_rollup,
         "customers_without_orders": q_customers_without_orders,
         "region_supplier_counts": q_region_supplier_counts,
         "events_hourly": q_events_hourly,
@@ -714,6 +764,29 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey
 ORDER BY revenue_e2 DESC, l_orderkey ASC
 LIMIT 10
+"""
+    sqls["q5_supplier_volume"] = """
+SELECT r_name, n_name,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_e2,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+    sqls["events_rollup"] = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(day, '<all>') AS day,
+       COUNT(*)::BIGINT AS n,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_e2
+FROM (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+  FROM events
+)
+GROUP BY GROUPING SETS ((event_type), (event_type, day), ())
 """
     sqls["customers_without_orders"] = """
 SELECT c_custkey FROM customer

@@ -99,6 +99,21 @@ def main() -> None:
             spark, idx, ["spark", "query", "scan"], cfg, k=50, n_buckets=cpus
         ),
     }
+    # compressed path: build shards once, query via pruned decode + WAND
+    from spaghettisearch_spark.operators.compression import build_posting_shards
+    from spaghettisearch_spark.operators.wand import build_doc_map, wand_topk_from_shards
+
+    t0 = time.time()
+    shards = build_posting_shards(
+        idx.postings.withColumn("weight", F.col("bm25_weight")), n_files, cfg
+    ).cache()
+    shards.count()
+    timings["shard_build"] = round(time.time() - t0, 4)
+    doc_map = build_doc_map(corpus).cache()
+    doc_map.count()
+    qset["q_wand_shards"] = lambda: wand_topk_from_shards(
+        spark, shards, doc_map, ["spark", "query", "scan"], cfg, k=50
+    )
     lat_ms: list[float] = []
     for name, q in qset.items():
         times = []
