@@ -132,12 +132,11 @@ SHARD_SCHEMA = T.StructType(
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (term, field, salt) posting group -> one compressed block row.
 
-    doc ids are md5 hex strings; blocks store them delta+varbyte over the
-    64-bit integer prefix ordering plus a residual dictionary — since md5
-    prefixes are uniform, we store the full 60-bit prefix deltas and keep
-    a parallel exact-id list ONLY when prefixes collide. Collisions at
-    60 bits are ~0 even at 10^12 docs, so the exact-id fallback stays
-    empty in practice; correctness never depends on no-collision.
+    ``doc_key`` is whatever integer key the caller chose: the dense
+    doc_idx from build_doc_dim (pipeline path — collision-free, tiny
+    deltas) or the 60-bit md5 prefix (test path). Keys are delta+varbyte
+    packed in sorted order; positions are per-doc delta streams with a
+    parallel lengths stream.
     """
     pdf = pdf.sort_values("doc_key").reset_index(drop=True)
     term = pdf["term"].iat[0]
@@ -179,6 +178,7 @@ def build_posting_shards(
     n_docs: int,
     cfg: EngineConfig = DEFAULT,
     term_stats: DataFrame | None = None,
+    doc_dim: DataFrame | None = None,
 ) -> DataFrame:
     """postings(term, field, doc_id, tf, positions, weight) -> compressed
     block rows, one per (term, field, salt).
@@ -187,6 +187,12 @@ def build_posting_shards(
     get ``salt = doc_key % n_salts`` so each block is bounded; cold terms
     use salt 0. The applyInPandas groups are therefore all small, and the
     shuffle key (term, field, salt) spreads hot terms over n_salts tasks.
+
+    ``doc_dim`` (doc_id, doc_idx) — when given, blocks key docs by the
+    DENSE index (collision-free at any corpus size, and dense deltas
+    varbyte-compress to ~1 byte each vs ~8 for 60-bit hash deltas). The
+    default 60-bit-hash keying needs no dimension table and is fine for
+    tests; the build pipeline always passes doc_dim.
     """
     if term_stats is None:
         term_stats = postings.groupBy("term", "field").agg(
@@ -197,8 +203,14 @@ def build_posting_shards(
         "term", "field", F.lit(True).alias("is_hot")
     )
 
+    if doc_dim is not None:
+        postings = postings.join(
+            doc_dim.select("doc_id", F.col("doc_idx").alias("doc_key")), "doc_id"
+        )
+    else:
+        postings = postings.withColumn("doc_key", term_hash60_col("doc_id"))
     keyed = (
-        postings.withColumn("doc_key", term_hash60_col("doc_id"))
+        postings
         .withColumn("shard", (term_hash60_col("term") % cfg.n_shards).cast("int"))
         .join(F.broadcast(hot), ["term", "field"], "left")
         .withColumn(
@@ -263,3 +275,24 @@ def decode_shards(shards: DataFrame) -> DataFrame:
             )
 
     return shards.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def build_doc_dim(corpus: DataFrame) -> DataFrame:
+    """(doc_id, doc_idx) — dense, deterministic document index.
+
+    Range-partition by doc_id + sort within partitions gives a global
+    order; ``zipWithIndex`` assigns contiguous ids with one extra job to
+    count per-partition offsets (no single-reducer window — this scales
+    to any corpus size, unlike ``row_number() OVER (ORDER BY ...)``).
+    One of the two deliberate RDD uses in the engine (the other is none).
+    """
+    spark = corpus.sparkSession
+    n_parts = max(corpus.rdd.getNumPartitions(), 8)
+    ids = (
+        corpus.select("doc_id")
+        .distinct()
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    rdd = ids.rdd.map(lambda r: r[0]).zipWithIndex()
+    return spark.createDataFrame(rdd, "doc_id string, doc_idx long")

@@ -62,6 +62,12 @@ class BuiltIndex:
     def shards(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(f"{self.warehouse}/posting_shards")
 
+    def doc_map(self, spark: SparkSession) -> DataFrame:
+        """(doc_key, doc_id) for shard-backed queries — dense doc_idx."""
+        return spark.read.parquet(f"{self.warehouse}/doc_dim").select(
+            F.col("doc_idx").alias("doc_key"), "doc_id"
+        )
+
 
 def corpus_fingerprint(documents: DataFrame) -> str:
     """Cheap deterministic input fingerprint: count + xor of doc-id
@@ -170,6 +176,11 @@ def build_all(
         input_fingerprint=fp,
     )
     if with_shards:
+        from ..operators.compression import build_doc_dim
+
+        doc_dim = stage(
+            "doc_dim", lambda: build_doc_dim(corpus), input_fingerprint=fp
+        )
         # skew telemetry: hottest terms by df -> lineage (SURVEY.md §4.3)
         top_skew = [
             {"term": r["term"], "field": r["field"], "df": int(r["df"])}
@@ -183,6 +194,7 @@ def build_all(
                 n_docs,
                 cfg,
                 term_stats,
+                doc_dim=doc_dim,
             ),
             input_fingerprint=fp,
             partition_by=["shard"],
@@ -191,6 +203,7 @@ def build_all(
                 "skew_top10_terms": top_skew,
                 "salt_df_threshold": salt_threshold,
                 "n_salts": cfg.n_salts,
+                "doc_key": "dense doc_idx (doc_dim stage)",
             },
         )
     if with_pagerank:

@@ -83,3 +83,28 @@ def test_wand_from_shards_matches_exhaustive(spark, corpus_small, index_small):
         for g, w in zip(got, want):
             assert g["score"] == pytest.approx(w["score"], rel=1e-9)
     shards.unpersist(); doc_map.unpersist()
+
+
+def test_wand_from_warehouse_shards_dense_ids(spark, docs_small, tmp_path):
+    """Pipeline shards use dense doc_idx keys; shard-backed WAND from the
+    warehouse == exhaustive scoring on the same index."""
+    from spaghettisearch_spark.operators.bm25 import search
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+    from spaghettisearch_spark.plans.build_pipeline import build_all
+
+    wh = str(tmp_path / "wh")
+    built = build_all(
+        spark, spark.createDataFrame(docs_small.head(120)), wh, with_pagerank=False
+    )
+    idx = built.load(spark)
+    shards = built.shards(spark)
+    doc_map = built.doc_map(spark)
+    for query in ["parse", "parse buffer flush"]:
+        terms, _ = parse_query(query)
+        want = search(spark, idx, query, DEFAULT, k=15).collect()
+        got = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=15
+        ).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
