@@ -510,6 +510,45 @@ def q_embedding_cosine_top10(spark, sf_dir):
     return res.select("vec_id", _e("cosine", 100000).alias("cos_e5"))
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs; the
+    SRP-bucketed variant is the scale path, ann_srp_top10)."""
+    from spaghettisearch_spark.operators.similarity import _dot, _norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.55)
+        .select("id_a", "id_b", _e("cos", 100000).alias("cos_e5"))
+    )
+
+
+LANG_PROFILES = {
+    "dataflow": ["stream", "batch", "window", "spark", "filter"],
+    "relational": ["table", "join", "query", "row", "column"],
+    "storage": ["scan", "key", "value", "hash", "sort"],
+}
+
+
+def q_lang_id(spark, sf_dir):
+    from spaghettisearch_spark.operators.textops import language_id_scores
+
+    out = language_id_scores(
+        _docs(spark, sf_dir), "doc_id", "text", LANG_PROFILES
+    )
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        _e("score", 10**6).alias("score_e6"),
+    )
+
+
 def q_quality_stats(spark, sf_dir):
     from spaghettisearch_spark.operators.textops import quality_stats
 
@@ -632,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash60": q_simhash60,
         "embedding_cosine_top10": q_embedding_cosine_top10,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
         "bpe_token_count": q_bpe_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -869,6 +910,39 @@ ORDER BY list_cosine_similarity(
   embedding::DOUBLE[],
   (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC, vec_id ASC
 LIMIT 10
+"""
+    sqls["embedding_near_dup_pairs"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 100000) AS BIGINT) AS cos_e5
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.55
+"""
+    lang_score_parts = "\nUNION ALL\n".join(
+        "SELECT doc_id, '{lang}' AS lang, "
+        "len(list_intersect(dtoks, [{markers}]))::DOUBLE / {n} AS score FROM rawt".format(
+            lang=lang,
+            markers=",".join(f"'{m}'" for m in markers),
+            n=float(len(markers)),
+        )
+        for lang, markers in sorted(LANG_PROFILES.items())
+    )
+    sqls["lang_id"] = f"""
+WITH rawt AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           t -> t <> '')) AS dtoks
+  FROM documents
+),
+scored AS ({lang_score_parts}),
+ranked AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, lang,
+       CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM ranked WHERE rn = 1
 """
     sqls["quality_stats"] = f"""
 WITH raw AS (
