@@ -432,6 +432,21 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — lag/cumsum window pattern;
+    streaming flavor lives in streaming/sessions.py (stateful op)."""
+    from spaghettisearch_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_batch(ev, 30)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        F.round(F.col("sum_value") * 100).cast("long").alias("sum_value_e2"),
+    )
+
+
 def q_orders_rank_window(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -665,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_supplier_counts": q_region_supplier_counts,
         "events_hourly": q_events_hourly,
         "events_json_extract": q_events_json_extract,
+        "events_sessionize": q_events_sessionize,
         "orders_rank_window": q_orders_rank_window,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -852,6 +868,27 @@ SELECT event_type,
        SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
        MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS max_k
 FROM events GROUP BY event_type
+"""
+    sqls["events_sessionize"] = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0
+         END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_e2
+FROM sessions GROUP BY user_id, session_id
 """
     sqls["orders_rank_window"] = """
 WITH r AS (
