@@ -111,3 +111,28 @@ def windowed_query_stats(
             "sum_value",
         )
     )
+
+
+def compact(spark: SparkSession, warehouse: str, cfg: EngineConfig = DEFAULT):
+    """Rebuild the derived index tables after streaming appends.
+
+    The stream appends raw postings + corpus rows; global stats (df,
+    avgdl, weights, shards, pagerank) go stale. Compaction re-runs the
+    batch pipeline with the warehouse corpus as input — ``ingest`` is
+    idempotent on canonical rows, and the changed input fingerprint
+    invalidates every stage, so this is one call, resumable like any
+    build. Same pattern at cluster scale, on a schedule or a row-count
+    trigger.
+    """
+    from ..plans.build_pipeline import build_all
+
+    documents = spark.read.parquet(f"{warehouse}/corpus").select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    # materialize the input before stages overwrite the corpus dir
+    documents = documents.cache()
+    documents.count()
+    try:
+        return build_all(spark, documents, warehouse, cfg)
+    finally:
+        documents.unpersist()

@@ -118,3 +118,36 @@ def test_snippets(spark, corpus_tiny):
     # fallback: no match -> middle window
     s = make_summary_py("one two three", ["zzz"], [])
     assert s == "one two three"
+
+
+def test_compact_after_stream(spark, docs_tiny, tmp_path):
+    """Stream docs in -> compact -> full queryable index over everything."""
+    from spaghettisearch_spark.operators.bm25 import search
+    from spaghettisearch_spark.plans.build_pipeline import BuiltIndex
+    from spaghettisearch_spark.streaming.ingest import compact, stream_ingest_documents
+
+    in_dir = str(tmp_path / "drop")
+    wh = str(tmp_path / "wh")
+    docs = spark.createDataFrame(docs_tiny)
+    docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_ingest_documents(spark, in_dir, wh)
+    q.awaitTermination(120)
+    built = compact(spark, wh)
+    idx = built.load(spark)
+    rows = search(spark, idx, "parse", k=10).collect()
+    assert rows and rows[0]["score"] > 0
+    # index equals a direct batch build over the same docs
+    from spaghettisearch_spark.operators.index_build import build_index
+    from spaghettisearch_spark.sources.corpus import ingest as _ingest
+
+    from spaghettisearch_spark.operators.links import extract_links
+
+    corpus = _ingest(docs)
+    mem = build_index(corpus, links=extract_links(corpus))
+    a = search(spark, idx, "parse buffer", k=10).collect()
+    b = search(spark, mem, "parse buffer", k=10).collect()
+    # compact() runs the full pipeline (links + anchor credit), so it must
+    # equal a batch build with links
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    for x, y in zip(a, b):
+        assert x["score"] == pytest.approx(y["score"], rel=1e-9)
