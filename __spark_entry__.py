@@ -644,7 +644,20 @@ def q_fixture_flagship(spark, sf_dir):
     links = extract_links(corpus).cache()
     idx = build_index(corpus, links=links)
     pr = compute_pagerank(spark, corpus, links)
-    return search(spark, idx, '"hash table" parse', pagerank=pr, k=20, hydrate=True)
+    res = search(spark, idx, '"hash table" parse', pagerank=pr, k=20, hydrate=True)
+    # driver canonicalizer sorts row values — project the map column
+    # through to_json and scale floats so every column is hashable+stable
+    return res.select(
+        "doc_id",
+        "repo",
+        "path",
+        "page_size",
+        _e("score", 10**5).alias("score_e5"),
+        _e("title_rank", 10**5).alias("title_e5"),
+        _e("body_rank", 10**5).alias("body_e5"),
+        _e("pagerank", 10**9).alias("pr_e9"),
+        F.to_json("top_words").alias("top_words_json"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,9 @@ class SearchEngine:
             topk = wand_topk(
                 self.spark, self.index, terms, self.cfg, k=k, pagerank=self.pagerank
             )
-            topk = F.broadcast(topk).join(self.index.doc_meta, "doc_id", "left")
+            # inner broadcast-left join (see bm25.search hydrate note):
+            # a left join here planned SortMergeJoin over all of doc_meta
+            topk = F.broadcast(topk).join(self.index.doc_meta, "doc_id")
             topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         else:
             topk = search(
@@ -79,8 +81,8 @@ class SearchEngine:
                 pagerank=self.pagerank, k=k, hydrate=True,
             )
         if self.corpus is not None:
-            topk = topk.join(
-                self.corpus.select("doc_id", "content"), "doc_id", "left"
+            topk = F.broadcast(topk).join(
+                self.corpus.select("doc_id", "content"), "doc_id"
             )
             topk = with_snippets(topk, "content", terms, phrases).drop("content")
         return topk

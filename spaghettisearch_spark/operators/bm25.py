@@ -239,7 +239,14 @@ def search(
     )
     topk = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if hydrate:
-        # metadata join AFTER the limit — broadcast the k-row side
-        topk = F.broadcast(topk).join(index.doc_meta, "doc_id", "left")
+        # metadata join AFTER the limit. INNER join with the k-row side
+        # as the broadcast build side: Spark cannot build-left a
+        # left-outer BroadcastHashJoin, so `broadcast(topk).join(meta,
+        # "left")` silently planned a SortMergeJoin that shuffled the
+        # whole doc_meta table at scale. Inner is lossless here — every
+        # scored doc_id comes from postings of an indexed doc, and
+        # doc_meta has a row for every indexed doc (build_doc_meta
+        # left-joins top_words onto the full corpus).
+        topk = F.broadcast(topk).join(index.doc_meta, "doc_id")
         topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk

@@ -132,10 +132,25 @@ def build_postings(tokens: DataFrame) -> DataFrame:
     )
 
 
-def build_doc_stats(tokens: DataFrame) -> DataFrame:
-    """(doc_id, field, dl) — BM25 document length (token count incl. anchors)."""
-    return tokens.groupBy("doc_id", "field").agg(
+def build_doc_stats(tokens: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
+    """(doc_id, field, dl) — BM25 document length (token count incl. anchors).
+
+    When ``corpus`` is given, every (doc, field) pair gets a row — docs
+    whose field tokenizes to nothing carry dl=0, so avgdl averages over
+    the WHOLE collection. This matches both oracles (the DuckDB mirror's
+    ``AVG(len(toks))`` over all documents and the pandas oracle), which
+    previously diverged from the engine for empty/all-stopword docs."""
+    counts = tokens.groupBy("doc_id", "field").agg(
         F.count("*").cast("long").alias("dl")
+    )
+    if corpus is None:
+        return counts
+    scaffold = corpus.select("doc_id").distinct().select(
+        "doc_id",
+        F.explode(F.array(F.lit(FIELD_TITLE), F.lit(FIELD_BODY))).alias("field"),
+    )
+    return scaffold.join(counts, ["doc_id", "field"], "left").select(
+        "doc_id", "field", F.coalesce("dl", F.lit(0).cast("long")).alias("dl")
     )
 
 
@@ -260,7 +275,7 @@ def build_index(
     postings = build_postings(tokens)
     if persist:
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-    doc_stats = build_doc_stats(tokens)
+    doc_stats = build_doc_stats(tokens, corpus)
     term_stats = build_term_stats(postings)
     corpus_stats = build_corpus_stats(corpus, doc_stats)
     stats_rows = corpus_stats.collect()

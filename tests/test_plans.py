@@ -74,6 +74,24 @@ def test_no_row_at_a_time_udfs():
     assert not bad, f"row-at-a-time UDFs found: {bad}"
 
 
+def test_hydration_join_is_broadcast_not_smj(spark, wh_index):
+    """Post-limit doc_meta hydration must stay a BroadcastHashJoin even
+    with auto-broadcast off — a left join here silently fell back to
+    SortMergeJoin (shuffling the whole doc_meta table at scale)."""
+    from spaghettisearch_spark.operators.bm25 import search
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(
+            spark, search(spark, wh_index, "parse buffer", k=10, hydrate=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" not in plan, "hydration fell back to SortMergeJoin"
+    assert "BroadcastHashJoin" in plan
+
+
 def test_broadcast_in_query_join(spark, wh_index):
     from spaghettisearch_spark.operators.bm25 import search
 

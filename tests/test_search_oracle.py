@@ -51,6 +51,38 @@ def test_rank_identity_tfidf_mode(spark, index_small, oracle_small):
         assert [r["doc_id"] for r in got] == list(want["doc_id"]), kind
 
 
+def test_avgdl_includes_zero_token_docs(spark):
+    """Empty / all-stopword docs must count toward avgdl in BOTH the
+    engine and the oracle (ADVICE r01: the engine averaged only docs
+    with >=1 token, diverging from the DuckDB+pandas oracles)."""
+    import pandas as pd
+
+    from spaghettisearch_spark.operators.index_build import build_index
+    from spaghettisearch_spark.oracle.pandas_oracle import build_oracle_index
+    from spaghettisearch_spark.sources.corpus import ingest
+
+    docs = pd.DataFrame(
+        [
+            ("r", "a.py", "HEAD", "py", "parse buffer parse table"),
+            ("r", "b.py", "HEAD", "py", "buffer table scan"),
+            ("r", "empty.py", "HEAD", "py", ""),
+            ("r", "stop.py", "HEAD", "py", "the and of is are"),
+        ],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    corpus = ingest(spark.createDataFrame(docs))
+    idx = build_index(corpus)
+    # engine avgdl over the body field must average over ALL 4 docs
+    stats = {r["field"]: r for r in idx.corpus_stats.collect()}
+    oracle = build_oracle_index(docs)
+    assert stats["body"]["avgdl"] == pytest.approx(oracle.avgdl["body"])
+    got = search(spark, idx, "parse buffer", DEFAULT).collect()
+    want = oracle_search(oracle, "parse buffer", DEFAULT)
+    assert [r["doc_id"] for r in got] == list(want["doc_id"])
+    for r, (_, w) in zip(got, want.iterrows()):
+        assert r["score"] == pytest.approx(w["score"], rel=1e-9, abs=1e-12)
+
+
 def test_tie_break_deterministic(spark, index_small):
     # identical docs 40/41 must come back adjacent, ordered by doc_id
     rows = search(spark, index_small, "dispatch buffer", DEFAULT, k=300).collect()
