@@ -486,6 +486,9 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):
+    """Banded MinHash LSH (b=4 bands x r=2 rows over 8 minhashes):
+    the S-curve 1-(1-s^2)^4 actually filters, unlike the r=1 scheme
+    whose any-shared-minhash candidates were ~96% of all pairs."""
     from spaghettisearch_spark.operators.textops import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -495,7 +498,7 @@ def q_lsh_candidate_pairs(spark, sf_dir):
         F.col("doc_id").alias("id"), "term"
     ).distinct()
     sigs = minhash_signatures(toks, "id", 8)
-    return lsh_candidate_pairs(sigs).select(
+    return lsh_candidate_pairs(sigs, band_rows=2).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
     )
@@ -611,6 +614,32 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_jaccard_verified(spark, sf_dir):
+    """Full near-dup pipeline: 3-token shingles -> MinHash(8) -> banded
+    LSH (4x2) candidates -> exact jaccard verify (threshold 0.2) ONLY on
+    candidates. Shingle space is large, so the S-curve actually selects
+    (unlike term-set LSH on a tiny shared vocabulary)."""
+    from spaghettisearch_spark.operators.textops import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    toks = _body_tokens(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "pos", "term"
+    )
+    sh = token_shingles(toks, "id", 3)
+    sigs = minhash_signatures(sh.withColumnRenamed("shingle", "term"), "id", 8)
+    cands = lsh_candidate_pairs(sigs, band_rows=2)
+    out = jaccard_pairs(sh, threshold=0.2, candidates=cands)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _e("jaccard", 10**6).alias("jaccard_e6"),
+    )
+
+
 # --- rows-only entries (no SQL oracle; driver records weaker check) ------
 
 def q_porter2_stem_vocab(spark, sf_dir):
@@ -706,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "lsh_jaccard_verified": q_lsh_jaccard_verified,
         # rows-only (non-SQL-expressible) entries
         "porter2_stem_vocab": q_porter2_stem_vocab,
         "ann_srp_top10": q_ann_srp_top10,
@@ -931,9 +961,15 @@ SELECT doc_id::BIGINT AS doc_id, salt::INT AS salt, minhash FROM ({minhash_parts
     sqls["lsh_candidate_pairs"] = f"""
 WITH {_TOKS},
 dtf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
-sigs AS (SELECT doc_id, salt, minhash FROM ({minhash_parts}) )
+sigs AS (SELECT doc_id, salt, minhash FROM ({minhash_parts}) ),
+bands AS (
+  SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 2 AS INT)
+),
+bk AS (SELECT doc_id, band, {h60('band_sig')} AS bucket FROM bands)
 SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
-FROM sigs a JOIN sigs b ON a.salt = b.salt AND a.minhash = b.minhash
+FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
 """
     sqls["simhash60"] = f"""
@@ -1048,6 +1084,45 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.2
+"""
+    shingle_minhash_parts = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {s} AS salt, MIN({h60('shingle', f's{s}:')}) AS minhash "
+        f"FROM sh GROUP BY doc_id"
+        for s in range(8)
+    )
+    sqls["lsh_jaccard_verified"] = f"""
+WITH {_TL},
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tl CROSS JOIN (SELECT unnest(range(1, 100000)) AS i)
+  WHERE i + 2 <= len(toks)
+),
+sigs AS (SELECT doc_id, salt, minhash FROM ({shingle_minhash_parts}) ),
+bands AS (
+  SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt) AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(salt // 2 AS INT)
+),
+bk AS (SELECT doc_id, band, {h60('band_sig')} AS bucket FROM bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a::BIGINT AS id_a, i.id_b::BIGINT AS id_b,
+       CAST(ROUND(n_inter::DOUBLE / (sa.n + sb.n - n_inter) * 1e6) AS BIGINT) AS jaccard_e6
+FROM inter i
+JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.2
 """
     return sqls

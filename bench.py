@@ -152,7 +152,7 @@ def main() -> None:
     sigs = minhash_signatures(toks.select("id", "term").distinct(), "id", 8)
     # scale path: cap degenerate buckets (the synthetic 24-word vocab makes
     # most docs near-identical; uncapped pairs are the oracle entry's job)
-    lsh_candidate_pairs(sigs, max_bucket=200).count()
+    lsh_candidate_pairs(sigs, band_rows=2, max_bucket=200).count()
     timings["minhash_lsh"] = round(time.time() - t0, 4)
 
     t0 = time.time()

@@ -114,7 +114,10 @@ def incremental_reindex(
     kept_links = old_links.join(
         changed_ids.withColumnRenamed("doc_id", "src_doc"), "src_doc", "left_anti"
     )
-    fresh_links = extract_links(changed, cfg)
+    # resolve targets against the FULL updated corpus: a changed doc
+    # linking to an existing UNCHANGED doc must keep dst_exists=true, or
+    # the target silently loses its inbound anchor credit (ADVICE r01)
+    fresh_links = extract_links(changed, cfg, resolve_with=new_corpus)
     new_links = kept_links.unionByName(fresh_links.select(*kept_links.columns))
 
     # affected = changed ∪ old/new anchor-credit targets of changed docs
@@ -139,17 +142,43 @@ def incremental_reindex(
     keep = postings.join(affected, "doc_id", "left_anti")
     new_postings = keep.unionByName(fresh.select(*keep.columns))
 
-    # materialize fully before overwriting the paths being read
-    new_postings.cache().count()
-    new_corpus.cache().count()
-    new_links.cache().count()
-    writer = new_postings.write.mode("overwrite")
-    if "bucket" in new_postings.columns:
-        writer = writer.partitionBy("bucket")
-    writer.parquet(f"{warehouse}/postings_raw")
-    new_corpus.write.mode("overwrite").parquet(f"{warehouse}/corpus")
-    new_links.write.mode("overwrite").parquet(f"{warehouse}/links")
-    for df in (new_postings, new_corpus, new_links, changed, affected):
+    # write every updated table to a tmp dir (reads still source the old
+    # dirs — no overwrite-while-reading race), then swap atomically and
+    # record lineage with the NEW input fingerprint, so a subsequent
+    # build_all over the updated documents SKIPS these stages and
+    # rebuilds only the stale downstream stats/shards (ADVICE r01: the
+    # old in-place overwrite wiped the _lineage.json sidecars, breaking
+    # the resume flow entirely)
+    from ..plans.build_pipeline import corpus_fingerprint
+    from ..sources.checkpoints import atomic_swap, write_lineage
+
+    new_fp = corpus_fingerprint(
+        new_corpus.select("repo", "path", "commit", "lang", "content")
+    )
+    part_by = ["bucket"] if "bucket" in new_postings.columns else None
+    tables = [
+        ("postings_raw", new_postings, part_by),
+        ("corpus", new_corpus, None),
+        ("links", new_links, None),
+    ]
+    for name, df, pb in tables:
+        writer = df.write.mode("overwrite")
+        if pb:
+            writer = writer.partitionBy(*pb)
+        writer.parquet(f"{warehouse}/{name}__tmp")
+    for name, _df, pb in tables:
+        atomic_swap(f"{warehouse}/{name}__tmp", f"{warehouse}/{name}")
+        written = spark.read.parquet(f"{warehouse}/{name}")
+        write_lineage(
+            f"{warehouse}/{name}",
+            name,
+            new_fp,
+            rows=written.count(),
+            partitions=written.rdd.getNumPartitions(),
+            partition_by=pb,
+            incremental_changed_docs=n,
+        )
+    for df in (changed, affected):
         df.unpersist()
     return n
 

@@ -27,13 +27,24 @@ from ..functions.tokenize import tokenize_col
 _MARKER = r"@link\{([^}]*)\}"
 
 
-def extract_links(corpus: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def extract_links(
+    corpus: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    resolve_with: DataFrame | None = None,
+) -> DataFrame:
     """Canonical corpus -> links edge list.
 
     Dangling targets (referenced doc not in corpus) are kept with
     ``dst_exists = false`` — the reference includes them in the PageRank
     node set (ranking/pagerank.go:24-44 unions keys with children).
+
+    ``resolve_with``: corpus to resolve targets against when extracting
+    links from a SUBSET (incremental re-index): dst_exists must be
+    checked against the FULL corpus, not just the changed slice —
+    otherwise a changed doc linking to an unchanged existing doc gets
+    dst_exists=false and the target silently loses its anchor credit.
     """
+    target_corpus = resolve_with if resolve_with is not None else corpus
     segs = F.split("content", _MARKER)
     targets = F.regexp_extract_all("content", F.lit(_MARKER), 1)
 
@@ -65,7 +76,7 @@ def extract_links(corpus: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
         stemmed("anchor_terms_raw") if cfg.stem else F.col("anchor_terms_raw"),
     )
 
-    ids = corpus.select(
+    ids = target_corpus.select(
         F.concat("repo", F.lit("/"), "path").alias("target"),
         F.col("doc_id").alias("dst_doc_known"),
     )

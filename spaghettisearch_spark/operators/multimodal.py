@@ -10,9 +10,10 @@ codec slot raises NotImplementedError unless PIL/soundfile are importable
 and tested (tests/test_multimodal.py).
 
 Scale notes: binary payloads dominate row size, so feature extraction
-repartitions by payload size budget (``target_batch_mb``) before the
-mapInPandas, keeping Arrow batches bounded; outputs drop the payload
-column immediately so downstream stages shuffle features, not bytes.
+chunks each incoming Arrow batch by payload-byte budget
+(``target_batch_mb``) inside the mapInPandas iterator, bounding the
+decode working set; outputs drop the payload column immediately so
+downstream stages shuffle features, not bytes.
 """
 
 from __future__ import annotations
@@ -99,47 +100,64 @@ def real_decode(payload: bytes):  # pragma: no cover - env without media libs
 def extract_media_features(
     media: DataFrame,
     decode: Callable[[bytes], tuple] = fake_decode,
-    target_batch_mb: int = 64,
+    target_batch_mb: float = 64,
+    emit_batch_bytes: bool = False,
 ) -> DataFrame:
     """(doc_id, payload, media) -> FEATURES_SCHEMA rows via mapInPandas.
 
-    One Arrow batch holds ~target_batch_mb of payload; the iterator form
-    streams batches so an executor never materializes a whole partition
-    of media bytes.
+    Payload-size bounding happens INSIDE the iterator: each incoming
+    Arrow batch is split into chunks whose summed payload bytes stay
+    under ``target_batch_mb``, and the decode working set + emitted
+    frame are per-chunk. (A previous version set
+    spark.sql.execution.arrow.maxRecordsPerBatch around the lazy
+    mapInPandas and restored it in a finally — the conf was back to its
+    old value before any job ran, so the bound was a no-op; it was also
+    racy across concurrent queries on the shared session conf.)
+
+    ``emit_batch_bytes=True`` appends a ``batch_bytes`` column carrying
+    each output row's chunk payload total — test/observability hook.
     """
+    budget = int(target_batch_mb * 1024 * 1024)
+    out_cols = ["doc_id", "media_type", "width", "height", "n_frames", "feature"]
+    schema = FEATURES_SCHEMA
+    if emit_batch_bytes:
+        schema = T.StructType(
+            FEATURES_SCHEMA.fields + [T.StructField("batch_bytes", T.LongType())]
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                w, h, nf, feat = decode(bytes(row.payload))
-                out.append(
-                    (
-                        row.doc_id,
-                        row.media["media_type"],
-                        int(w),
-                        int(h),
-                        int(nf),
-                        [float(x) for x in feat],
+            sizes = pdf["payload"].map(len).to_numpy()
+            # chunk boundaries: greedy fill up to `budget` payload bytes
+            # (a single row larger than the budget gets its own chunk)
+            start, acc = 0, 0
+            bounds = []
+            for i, s in enumerate(sizes):
+                if acc and acc + s > budget:
+                    bounds.append((start, i))
+                    start, acc = i, 0
+                acc += int(s)
+            bounds.append((start, len(sizes)))
+            for lo, hi in bounds:
+                if lo == hi:
+                    continue
+                chunk = pdf.iloc[lo:hi]
+                out = []
+                for row in chunk.itertuples(index=False):
+                    w, h, nf, feat = decode(bytes(row.payload))
+                    out.append(
+                        (
+                            row.doc_id,
+                            row.media["media_type"],
+                            int(w),
+                            int(h),
+                            int(nf),
+                            [float(x) for x in feat],
+                        )
                     )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id", "media_type", "width", "height", "n_frames", "feature",
-                ],
-            )
+                frame = pd.DataFrame(out, columns=out_cols)
+                if emit_batch_bytes:
+                    frame["batch_bytes"] = int(sizes[lo:hi].sum())
+                yield frame
 
-    # bound Arrow batch size by payload bytes, not row count: with the
-    # per-row payload estimate, target_batch_mb of media = this many rows
-    avg_bytes = 1024
-    rows_per_batch = max((target_batch_mb * 1024 * 1024) // avg_bytes, 1)
-    spark = media.sparkSession
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(min(rows_per_batch, 10000))
-    )
-    try:
-        return media.mapInPandas(run, FEATURES_SCHEMA)
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return media.mapInPandas(run, schema)

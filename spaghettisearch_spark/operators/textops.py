@@ -10,10 +10,13 @@ here has a bit-identical DuckDB oracle (see __spark_entry__.oracle_sql).
 Scale notes:
   - MinHash signatures: one groupBy(id) over |salts| aggregates — the
     classic map-side-combinable min; no skew (groups keyed by doc).
-  - LSH candidate pairs: self-join on (salt, minhash) buckets. Bucket
-    sizes are data-dependent; the join is restricted to bucket ids with
-    2+ members and deduped (a<b) before output. At scale, add a bucket
-    cardinality cap to drop degenerate buckets (all-identical docs).
+  - LSH candidate pairs: banded signatures (b bands x r rows: bucket
+    key = hash of r consecutive minhashes), self-joined on
+    (band, bucket). Candidate probability follows the S-curve
+    1-(1-s^r)^b, so r>1 actually FILTERS (r=1 degenerates to "any
+    shared minhash" — near-all-pairs on a shared-vocab corpus). The
+    ``max_bucket`` cardinality cap stays as the degenerate guard
+    (boilerplate/identical docs, which exact-dedup catches cheaply).
   - SimHash: explode 60 bit positions per (id, term) — constant 60x
     expansion, partial aggregation keeps shuffle rows at
     |ids| * 60 per partition.
@@ -63,30 +66,55 @@ def minhash_signatures(
     return salted.groupBy("id", "salt").agg(F.min("h").alias("minhash"))
 
 
+def lsh_band_buckets(signatures: DataFrame, band_rows: int = 2) -> DataFrame:
+    """signatures(id, salt, minhash) -> (id, band, bucket): group the
+    signature into bands of ``band_rows`` consecutive salts; the bucket
+    key hashes the band's minhashes in salt order (portable 60-bit hash,
+    so the DuckDB oracle reproduces buckets bit-for-bit)."""
+    banded = signatures.withColumn(
+        "band", F.floor(F.col("salt") / band_rows).cast("int")
+    )
+    sig = banded.groupBy("id", "band").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("salt", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+        ).alias("band_sig")
+    )
+    return sig.select("id", "band", term_hash60_col("band_sig").alias("bucket"))
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, max_bucket: int | None = None
+    signatures: DataFrame,
+    band_rows: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b) distinct pairs sharing at least one (salt, minhash)
-    band bucket, id_a < id_b. One-row-per-band signatures = band size 1.
+    """(id_a, id_b) distinct pairs sharing at least one LSH band bucket,
+    id_a < id_b. With n_hashes salts and ``band_rows`` r, b = n/r bands:
+    P[candidate | jaccard s] = 1-(1-s^r)^b. r=1 reproduces the
+    degenerate any-shared-minhash scheme (near-all-pairs on corpora
+    with shared vocabulary) — use r>=2 for a real S-curve.
 
     ``max_bucket`` drops degenerate buckets (more than that many members)
     before the self-join — at corpus scale a bucket of B docs emits
     B^2/2 pairs, so near-identical boilerplate (license headers, vendored
     files) would otherwise explode the join. Dropped buckets are exactly
     the ones exact-dedup already catches cheaply."""
-    sigs = signatures
+    sigs = lsh_band_buckets(signatures, band_rows)
     if max_bucket is not None:
         ok = (
-            sigs.groupBy("salt", "minhash")
+            sigs.groupBy("band", "bucket")
             .agg(F.count("*").alias("n"))
             .filter(F.col("n") <= max_bucket)
-            .select("salt", "minhash")
+            .select("band", "bucket")
         )
-        sigs = sigs.join(ok, ["salt", "minhash"], "left_semi")
-    a = sigs.select(F.col("salt"), F.col("minhash"), F.col("id").alias("id_a"))
-    b = sigs.select(F.col("salt"), F.col("minhash"), F.col("id").alias("id_b"))
+        sigs = sigs.join(ok, ["band", "bucket"], "left_semi")
+    a = sigs.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
+    b = sigs.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
     return (
-        a.join(b, ["salt", "minhash"])
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -56,6 +56,55 @@ def is_complete(out_dir: str, input_fingerprint: str | None = None) -> bool:
     return meta.get("input_fingerprint") == input_fingerprint
 
 
+def write_lineage(
+    out_dir: str,
+    stage: str,
+    input_fingerprint: str,
+    rows: int,
+    partitions: int,
+    seconds: float = 0.0,
+    partition_by: list[str] | None = None,
+    **extra,
+) -> dict:
+    """Write a stage's lineage sidecar (same shape run_stage records) —
+    used by out-of-band table rewrites (incremental_reindex) so resume
+    semantics stay coherent: the rewritten stages carry the NEW input
+    fingerprint (skipped on the next build_all over the updated input),
+    while downstream stages keep their stale fingerprint and rebuild."""
+    meta = {
+        "stage": stage,
+        "engine_version": __version__,
+        "input_fingerprint": input_fingerprint,
+        "rows_out": rows,
+        "partitions": partitions,
+        "wall_seconds": round(seconds, 3),
+        "partition_by": partition_by or [],
+        "written_at_unix": int(time.time()),
+        **extra,
+    }
+    _lineage_path(out_dir).write_text(json.dumps(meta, indent=2))
+    return meta
+
+
+def atomic_swap(tmp_dir: str, out_dir: str) -> None:
+    """Replace ``out_dir`` with ``tmp_dir`` via two renames — readers of
+    the old path never observe a half-written table, and a crash leaves
+    either the old or the new table intact (plus at worst a stale
+    ``__old``/``__tmp`` dir to garbage-collect).
+
+    Local-filesystem semantics; on object storage swap the table pointer
+    in a metastore instead (e.g. an Iceberg snapshot commit) — the call
+    site is the single place to change."""
+    import shutil
+
+    old = out_dir.rstrip("/") + "__old"
+    if Path(old).exists():
+        shutil.rmtree(old)
+    Path(out_dir).rename(old)
+    Path(tmp_dir).rename(out_dir)
+    shutil.rmtree(old)
+
+
 def run_stage(
     spark: SparkSession,
     name: str,

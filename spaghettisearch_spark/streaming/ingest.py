@@ -17,7 +17,7 @@ log stream — the standard Structured Streaming stateful-op surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -45,7 +45,18 @@ def stream_ingest_documents(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
 ):
-    """File-source stream of documents -> incremental postings append.
+    """File-source stream of documents -> incremental postings append
+    with LSM-style upsert semantics.
+
+    Every appended corpus/postings row carries ``ingest_seq`` (the
+    micro-batch id); a re-dropped CHANGED document appends a new version
+    instead of rewriting history, and readers resolve latest-wins via
+    ``live_corpus``/``live_postings`` (one window / one semi-join — no
+    per-batch rewrite of existing partitions, which is what makes this
+    shape viable at 100 TB). ``compact()`` folds versions down to one by
+    rebuilding from the live view. Within one batch, duplicate
+    (repo, path) rows dedupe deterministically to the (commit,
+    content_sha256)-max row.
 
     Returns the StreamingQuery. ``available_now=True`` drains what's
     there and stops (test/batch-catchup mode); False = continuous.
@@ -61,9 +72,23 @@ def stream_ingest_documents(
         if batch_df.isEmpty():
             return
         corpus = ingest(batch_df)
+        in_batch = Window.partitionBy("doc_id").orderBy(
+            F.desc("commit"), F.desc("content_sha256")
+        )
+        corpus = (
+            corpus.withColumn("_rn", F.row_number().over(in_batch))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("ingest_seq", F.lit(batch_id).cast("long"))
+        )
         tokens = ib.tokenize_fields(corpus, cfg)
-        postings = ib.build_postings(tokens).withColumn(
-            "bucket", F.pmod(term_hash60_col("term"), F.lit(cfg.n_shards)).cast("int")
+        postings = (
+            ib.build_postings(tokens)
+            .withColumn(
+                "bucket",
+                F.pmod(term_hash60_col("term"), F.lit(cfg.n_shards)).cast("int"),
+            )
+            .withColumn("ingest_seq", F.lit(batch_id).cast("long"))
         )
         (
             postings.write.mode("append")
@@ -80,6 +105,42 @@ def stream_ingest_documents(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _with_seq(df: DataFrame) -> DataFrame:
+    """Tolerate pre-upsert tables: missing/null ingest_seq reads as -1."""
+    if "ingest_seq" not in df.columns:
+        return df.withColumn("ingest_seq", F.lit(-1).cast("long"))
+    return df.withColumn(
+        "ingest_seq", F.coalesce(F.col("ingest_seq"), F.lit(-1)).cast("long")
+    )
+
+
+def live_corpus(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Latest version of every document in a streamed warehouse —
+    the read-side half of the upsert: one window over (doc_id)."""
+    corpus = _with_seq(
+        spark.read.option("mergeSchema", "true").parquet(f"{warehouse}/corpus")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("ingest_seq"), F.desc("content_sha256")
+    )
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def live_postings(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Postings restricted to each doc's latest version: semi-join on
+    (doc_id, ingest_seq) against the live corpus. Stale versions stay in
+    parquet until ``compact()`` garbage-collects them."""
+    postings = _with_seq(
+        spark.read.option("mergeSchema", "true").parquet(f"{warehouse}/postings_raw")
+    )
+    live_keys = live_corpus(spark, warehouse).select("doc_id", "ingest_seq")
+    return postings.join(live_keys, ["doc_id", "ingest_seq"], "left_semi")
 
 
 def windowed_query_stats(
@@ -126,13 +187,11 @@ def compact(spark: SparkSession, warehouse: str, cfg: EngineConfig = DEFAULT):
     """
     from ..plans.build_pipeline import build_all
 
-    documents = spark.read.parquet(f"{warehouse}/corpus").select(
+    documents = live_corpus(spark, warehouse).select(
         "repo", "path", "commit", "lang", "content"
     )
-    # materialize the input before stages overwrite the corpus dir
-    documents = documents.cache()
-    documents.count()
-    try:
-        return build_all(spark, documents, warehouse, cfg)
-    finally:
-        documents.unpersist()
+    # sever lineage from the corpus dir before stages overwrite it —
+    # localCheckpoint materializes (unlike cache, survives eviction;
+    # at cluster scale use reliable checkpoint() on object storage)
+    documents = documents.localCheckpoint()
+    return build_all(spark, documents, warehouse, cfg)

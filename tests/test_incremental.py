@@ -75,6 +75,70 @@ def test_incremental_warehouse(spark, docs_tiny, tmp_path):
     assert incremental_reindex(spark, wh, spark.createDataFrame(updated)) == 0
 
 
+def test_incremental_link_to_unchanged_doc(spark, tmp_path):
+    """ADVICE r01 (high): a changed doc linking to an existing UNCHANGED
+    doc must keep dst_exists=true so the target keeps its inbound
+    anchor-credit title postings; and the rewrite must preserve lineage
+    sidecars so a subsequent build_all resumes instead of reverting."""
+    import json
+
+    import pandas as pd
+
+    from spaghettisearch_spark.operators.links import extract_links
+    from spaghettisearch_spark.plans.build_pipeline import (
+        build_all,
+        corpus_fingerprint,
+    )
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    docs = pd.DataFrame(
+        [
+            ("r", "a.py", "c1", "py", "alpha beta @link{r/b.py} gamma"),
+            ("r", "b.py", "c1", "py", "delta epsilon zeta"),
+            ("r", "c.py", "c1", "py", "eta theta iota"),
+        ],
+        columns=cols,
+    )
+    wh = str(tmp_path / "wh")
+    build_all(
+        spark, spark.createDataFrame(docs), wh,
+        with_pagerank=False, with_shards=False,
+    )
+    updated = docs.copy()
+    updated.loc[0, "content"] = "alpha freshzz @link{r/b.py} gamma"
+    updated_df = spark.createDataFrame(updated)
+    assert incremental_reindex(spark, wh, updated_df) == 1
+
+    # persisted link rows to the unchanged target keep dst_exists=true
+    links = spark.read.parquet(f"{wh}/links")
+    assert [r["dst_exists"] for r in links.collect()] == [True]
+
+    # postings (incl. b.py's inbound anchor credit) == full rebuild
+    got = spark.read.parquet(f"{wh}/postings_raw").select(
+        "term", "field", "doc_id", "tf"
+    )
+    full_corpus = ingest(updated_df)
+    full = ib.build_postings(
+        ib.tokenize_fields(full_corpus, links=extract_links(full_corpus))
+    ).select("term", "field", "doc_id", "tf")
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+
+    # lineage sidecars survive with the UPDATED fingerprint...
+    new_fp = corpus_fingerprint(updated_df)
+    for name in ("corpus", "links", "postings_raw"):
+        meta = json.loads((tmp_path / "wh" / name / "_lineage.json").read_text())
+        assert meta["input_fingerprint"] == new_fp, name
+    # ...so a resumed build over the updated docs skips the rewritten
+    # stages and rebuilds only the stale downstream stats
+    built = build_all(
+        spark, updated_df, wh, with_pagerank=False, with_shards=False,
+    )
+    skipped = {s.name: s.skipped for s in built.stages}
+    assert skipped["corpus"] and skipped["links"] and skipped["postings_raw"]
+    assert not skipped["doc_stats"] and not skipped["postings"]
+
+
 def test_family_top5(spark, corpus_tiny):
     from spaghettisearch_spark.operators.links import extract_links
 

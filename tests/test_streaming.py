@@ -39,6 +39,61 @@ def test_stream_ingest_matches_batch(spark, docs_tiny, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stream_redrop_changed_doc_upserts(spark, docs_tiny, tmp_path):
+    """ADVICE r01: a re-dropped CHANGED doc must not double-count — the
+    live view resolves latest-wins per doc, and compact() folds it."""
+    import pandas as pd
+
+    from spaghettisearch_spark.operators import index_build as ib
+    from spaghettisearch_spark.sources.corpus import ingest
+    from spaghettisearch_spark.streaming.ingest import (
+        live_corpus,
+        live_postings,
+        stream_ingest_documents,
+    )
+
+    in_dir = str(tmp_path / "drop")
+    wh = str(tmp_path / "wh")
+    docs = pd.DataFrame(docs_tiny)
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream_ingest_documents(spark, in_dir, wh).awaitTermination(120)
+
+    final = docs.copy()
+    for i in range(5):
+        final.loc[i, "content"] = final.loc[i, "content"] + " freshzz tokenzz"
+    changed = final.head(5)
+    spark.createDataFrame(changed).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_ingest_documents(spark, in_dir, wh).awaitTermination(120)
+
+    # raw corpus holds both versions; live view exactly one per doc
+    assert spark.read.parquet(f"{wh}/corpus").count() == len(docs) + 5
+    live = live_corpus(spark, wh)
+    assert live.count() == len(docs)
+
+    got = live_postings(spark, wh).select("term", "field", "doc_id", "tf")
+    batch = ib.build_postings(
+        ib.tokenize_fields(ingest(spark.createDataFrame(final)))
+    ).select("term", "field", "doc_id", "tf")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+    # compact folds versions down and equals a batch build over `final`
+    from spaghettisearch_spark.streaming.ingest import compact
+
+    built = compact(spark, wh)
+    compacted = built.load(spark).postings.select("term", "field", "doc_id", "tf")
+    # anchor credit included in the pipeline build; strip to body/title
+    # token postings by comparing against a links-aware batch build
+    from spaghettisearch_spark.operators.links import extract_links
+
+    corpus = ingest(spark.createDataFrame(final))
+    full = ib.build_postings(
+        ib.tokenize_fields(corpus, links=extract_links(corpus))
+    ).select("term", "field", "doc_id", "tf")
+    assert compacted.exceptAll(full).count() == 0
+    assert full.exceptAll(compacted).count() == 0
+
+
 def test_windowed_query_stats_batch_parity(spark, tmp_path):
     from spaghettisearch_spark.streaming.ingest import windowed_query_stats
 
@@ -97,6 +152,32 @@ def test_multimodal_features(spark, corpus_tiny):
     assert (got["width"], got["height"], got["n_frames"]) == (w, h, nf)
     assert got["feature"] == pytest.approx(list(feat), rel=1e-6)
     assert len(got["feature"]) == 8
+
+
+def test_multimodal_batch_payload_bounded(spark, corpus_tiny):
+    """Chunking must actually bound per-chunk payload bytes (ADVICE r01:
+    the old session-conf set/restore around the lazy plan was a no-op)."""
+    from spaghettisearch_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    media = attach_fake_media(corpus_tiny)  # 256-byte payloads
+    # 1 KiB budget over 64 * 256 B of payload -> chunks of <= 4 rows
+    budget = 1024
+    rows = extract_media_features(
+        media, target_batch_mb=budget / (1024 * 1024), emit_batch_bytes=True
+    ).collect()
+    assert len(rows) == corpus_tiny.count()
+    assert all(r["batch_bytes"] <= budget for r in rows)
+    assert any(r["batch_bytes"] > 256 for r in rows)  # actually batched
+
+    # degenerate budget 0: every row its own chunk, nothing dropped
+    got = extract_media_features(
+        media, target_batch_mb=0, emit_batch_bytes=True
+    ).collect()
+    assert all(r["batch_bytes"] == 256 for r in got)
+    assert len(got) == corpus_tiny.count()
 
 
 def test_snippets(spark, corpus_tiny):

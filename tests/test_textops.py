@@ -61,6 +61,46 @@ def test_simhash_matches_python(spark, toks):
     assert ham(got[1], got[2]) < ham(got[1], got[3])
 
 
+def test_lsh_banding_filters(spark):
+    """r=2 banded LSH must be a SUBSET of the r=1 any-shared-minhash
+    candidates, still find true near-dups, and actually filter."""
+    from spaghettisearch_spark.operators.textops import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # docs 0,1: identical sets (jaccard 1). docs 2..19: two families with
+    # in-family jaccard 6/18 = 1/3 — r=1 catches ~all of them (S-curve
+    # 1-(1-s)^8 ~ 0.96) while r=2 drops most (1-(1-s^2)^4 ~ 0.37).
+    rows = []
+    for i in range(20):
+        if i <= 1:
+            terms = [f"w{j}" for j in range(6)] + ["shared01"]
+        else:
+            terms = [f"w{j}" for j in range(i % 2, 12, 2)] + [
+                f"uniq{i}x{k}" for k in range(6)
+            ]
+        for t in set(terms):
+            rows.append((i, t))
+    toks = spark.createDataFrame(rows, "id int, term string")
+    sigs = minhash_signatures(toks, "id", 8).cache()
+
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, band_rows=1).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, band_rows=2).collect()
+    }
+    assert banded <= loose
+    assert (0, 1) in banded  # jaccard(0,1)=1.0 -> always a candidate
+    assert len(banded) < len(loose)
+    # max_bucket guard still composes with banding
+    capped = lsh_candidate_pairs(sigs, band_rows=2, max_bucket=1).count()
+    assert capped == 0
+
+
 def test_shingles_and_jaccard(spark, toks):
     from spaghettisearch_spark.operators.textops import jaccard_pairs, token_shingles
 
