@@ -529,22 +529,20 @@ def q_embedding_cosine_top10(spark, sf_dir):
 
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs; the
-    SRP-bucketed variant is the scale path, ann_srp_top10)."""
-    from spaghettisearch_spark.operators.similarity import _dot, _norm
+    """Embedding-cosine near-duplicate pairs via the SRP-bucketed SCALE
+    path (multi-probe Hamming<=2 over 4 planes, exact cosine verify on
+    candidates only). The DuckDB oracle is the exact all-pairs form —
+    matching it demonstrates the bucketed path's recall on this corpus
+    (probe coverage 11/16 of bucket space; pairs split by >2 of the 4
+    planes would be missed — see operators/similarity.py recall note)."""
+    from spaghettisearch_spark.operators.similarity import srp_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    pairs = srp_near_dup_pairs(
+        emb, dim=dim, threshold=0.55, n_planes=4, hamming=2
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        pairs.withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.55)
-        .select("id_a", "id_b", _e("cos", 100000).alias("cos_e5"))
-    )
+    return pairs.select("id_a", "id_b", _e("cos", 100000).alias("cos_e5"))
 
 
 LANG_PROFILES = {
@@ -654,7 +652,9 @@ def q_ann_srp_top10(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    res = ann_topk_bucketed(emb, list(qv), dim=len(qv), k=10, n_planes=6)
+    res = ann_topk_bucketed(
+        emb, list(qv), dim=len(qv), k=10, n_planes=6, hamming=1
+    )
     return res.select("vec_id", _e("cosine", 100000).alias("cos_e5"))
 
 
