@@ -297,6 +297,69 @@ def q_pagerank_3iter(spark, sf_dir):
     )
 
 
+def _topics(spark, sf_dir) -> DataFrame:
+    """Deterministic static category assignment (ODP-fixture analog):
+    category = 'c' || doc_id % 3."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string")).alias(
+            "category"
+        ),
+    )
+
+
+_CATS_SQL = """
+cats AS (
+  SELECT 'c' || CAST(doc_id % 3 AS VARCHAR) AS category, COUNT(*)::DOUBLE AS np
+  FROM documents GROUP BY 1
+)"""
+
+
+def q_pagerank_topic(spark, sf_dir):
+    """Topic-sensitive PageRank (reference UpdateTopicSensitivePagerank,
+    ranking/pagerank.go:15-88): one vector per category over the same
+    graph, init 1/numPages(category), 3 fixed iterations."""
+    from spaghettisearch_spark.operators.topics import compute_topic_pagerank
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+    links = _edges(spark, sf_dir).select(
+        F.col("src").cast("string").alias("src_doc"),
+        F.col("dst").cast("string").alias("dst_doc"),
+    )
+    pr = compute_topic_pagerank(
+        spark, d, links, _topics(spark, sf_dir), max_iters=3, epsilon=0.0
+    )
+    return pr.select(
+        F.col("doc_id").cast("long").alias("node"),
+        "category",
+        _e("rank", 10**9).alias("pr_e9"),
+    )
+
+
+def q_topic_term_stats(spark, sf_dir):
+    """topic_terms — per-category term frequencies (reference inv[2]
+    invTopic_PR, database.go:112; populated ODP-scraper.go:128-139)."""
+    from spaghettisearch_spark.operators.topics import build_topic_tables
+
+    toks = _body_tokens(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "term"
+    )
+    topic_terms, _meta = build_topic_tables(toks, _topics(spark, sf_dir))
+    return topic_terms.select("term_id", "term", "category", "freq")
+
+
+def q_topic_meta(spark, sf_dir):
+    """topic_meta — per-category numPages/wordCount (reference forw[5]
+    Topic_metadata, database.go:121; ODP-scraper.go:97-125)."""
+    from spaghettisearch_spark.operators.topics import build_topic_tables
+
+    toks = _body_tokens(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "term"
+    )
+    _terms, meta = build_topic_tables(toks, _topics(spark, sf_dir))
+    return meta.select("category", "num_pages", "word_count")
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -714,6 +777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sha256": q_doc_sha256,
         "graph_out_degree": q_graph_out_degree,
         "pagerank_3iter": q_pagerank_3iter,
+        "pagerank_topic": q_pagerank_topic,
+        "topic_term_stats": q_topic_term_stats,
+        "topic_meta": q_topic_meta,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_revenue_top10": q_q3_revenue_top10,
         "q5_supplier_volume": q_q5_supplier_volume,
@@ -843,6 +909,55 @@ i3 AS (
 raw3 AS (SELECT n.node, COALESCE(i3.inh, 0) + 0.25 AS raw FROM nodes n LEFT JOIN i3 USING (node)),
 r3 AS (SELECT node, raw / (SELECT SUM(raw) FROM raw3) AS r FROM raw3)
 SELECT node, CAST(ROUND(r * 1000000000) AS BIGINT) AS pr_e9 FROM r3
+"""
+    topic_iters = []
+    for i in range(1, 4):
+        p = f"r{i - 1}"
+        topic_iters.append(f"""
+i{i} AS (
+  SELECT e.dst AS node, {p}.category, SUM(0.75 * {p}.r / o.outdeg) AS inh
+  FROM edges e JOIN {p} ON {p}.node = e.src JOIN outd o ON o.src = e.src
+  GROUP BY e.dst, {p}.category
+),
+raw{i} AS (
+  SELECT r0.node, r0.category, COALESCE(i{i}.inh, 0) + 0.25 AS raw
+  FROM r0 LEFT JOIN i{i} ON i{i}.node = r0.node AND i{i}.category = r0.category
+),
+t{i} AS (SELECT category, SUM(raw) AS t FROM raw{i} GROUP BY category),
+r{i} AS (
+  SELECT node, raw{i}.category, raw / t{i}.t AS r
+  FROM raw{i} JOIN t{i} ON t{i}.category = raw{i}.category
+)""")
+    sqls["pagerank_topic"] = f"""
+WITH {_EDGES_SQL},
+outd AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT doc_id AS node FROM documents),
+{_CATS_SQL},
+r0 AS (SELECT n.node, c.category, 1.0 / c.np AS r FROM nodes n CROSS JOIN cats c),
+{",".join(topic_iters)}
+SELECT node, category, CAST(ROUND(r * 1000000000) AS BIGINT) AS pr_e9 FROM r3
+"""
+    sqls["topic_term_stats"] = f"""
+WITH {_TOKS}
+SELECT md5(term) AS term_id, term,
+       'c' || CAST(doc_id % 3 AS VARCHAR) AS category,
+       COUNT(*)::BIGINT AS freq
+FROM toks GROUP BY term, 3
+"""
+    sqls["topic_meta"] = f"""
+WITH {_TOKS},
+np AS (
+  SELECT 'c' || CAST(doc_id % 3 AS VARCHAR) AS category,
+         COUNT(*)::BIGINT AS num_pages
+  FROM documents GROUP BY 1
+),
+wc AS (
+  SELECT 'c' || CAST(doc_id % 3 AS VARCHAR) AS category,
+         COUNT(*)::BIGINT AS word_count
+  FROM toks GROUP BY 1
+)
+SELECT np.category, num_pages, COALESCE(word_count, 0)::BIGINT AS word_count
+FROM np LEFT JOIN wc ON wc.category = np.category
 """
     sqls["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

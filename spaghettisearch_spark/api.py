@@ -81,19 +81,42 @@ class SearchEngine:
                 pagerank=self.pagerank, k=k, hydrate=True,
             )
         if self.corpus is not None:
+            # broadcast build = the k-row side, stream = the corpus scan;
+            # output follows the streamed side, so restore the total
+            # order afterwards (k rows — a trivial sort)
             topk = F.broadcast(topk).join(
                 self.corpus.select("doc_id", "content"), "doc_id"
             )
             topk = with_snippets(topk, "content", terms, phrases).drop("content")
+            topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return topk
 
     def query(self, q: str, k: int | None = None, use_wand: bool = False) -> list[dict]:
         """Reference-JSON-shaped result cards (server.go:47-48 encodes
-        []Rank_combined)."""
+        []Rank_combined, incl. top-5 parents with their anchor terms and
+        top-5 children — retrieval/util.go:56-92, get_metadata.go:237-266)."""
         rows = self.query_df(q, k, use_wand).collect()
+        family: dict = {}
+        if self.links is not None and rows:
+            from .operators.incremental import family_top5
+
+            ids = [r["doc_id"] for r in rows]
+            # prune the edge list to the k result docs BEFORE aggregating
+            # (isin pushes to the links scan; k is tiny) — children need
+            # src in ids, parents need dst in ids, both lists complete
+            fam_links = self.links.filter(
+                F.col("src_doc").isin(ids) | F.col("dst_doc").isin(ids)
+            )
+            family = {
+                r["doc_id"]: r.asDict(recursive=True)
+                for r in family_top5(fam_links)
+                .filter(F.col("doc_id").isin(ids))
+                .collect()
+            }
         out = []
         for rank, r in enumerate(rows, 1):
             d = r.asDict(recursive=True)
+            fam = family.get(d["doc_id"], {})
             out.append(
                 {
                     "rank": rank,
@@ -107,6 +130,8 @@ class SearchEngine:
                     "page_size": d.get("page_size"),
                     "mod_date": d.get("commit"),
                     "top_words": d.get("top_words"),
+                    "parents": fam.get("parents_anchors") or [],
+                    "children": fam.get("children_top5") or [],
                     "snippet": d.get("snippet", ""),
                     "content_sha256": d.get("content_sha256"),
                 }

@@ -184,13 +184,41 @@ def incremental_reindex(
 
 
 def family_top5(links: DataFrame) -> DataFrame:
-    """Per-doc first-5 parents and children — the reference's result-card
-    fields (retrieval/util.go:56-92 keeps 5 of each). Deterministic:
-    lexicographic doc-id order replaces goroutine arrival order."""
+    """Per-doc first-5 parents (each with its anchor terms) and children
+    — the reference's result-card fields (retrieval/util.go:56-92 keeps
+    5 of each; get_metadata.go:237-266 resolves parents WITH the anchor
+    terms they credited, DocInfo.Parents map[parent][]anchorTerms,
+    noschema_schema.go:34-44). Deterministic: lexicographic doc-id /
+    term order replaces goroutine arrival order.
+
+    Output: (doc_id, children_top5 array<string>, parents_top5
+    array<string>, parents_anchors array<struct<parent, terms>>)."""
     children = links.groupBy(F.col("src_doc").alias("doc_id")).agg(
         F.slice(F.array_sort(F.collect_set("dst_doc")), 1, 5).alias("children_top5")
     )
-    parents = links.groupBy(F.col("dst_doc").alias("doc_id")).agg(
-        F.slice(F.array_sort(F.collect_set("src_doc")), 1, 5).alias("parents_top5")
+    # per (target, parent): union of anchor terms over all of the
+    # parent's links to the target, distinct+sorted, first 5
+    per_parent = (
+        links.groupBy(
+            F.col("dst_doc").alias("doc_id"), F.col("src_doc").alias("parent")
+        )
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("anchor_terms")))
+                ),
+                1,
+                5,
+            ).alias("terms")
+        )
+    )
+    parents = per_parent.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("parent", "terms"))), 1, 5
+        ).alias("parents_anchors")
+    ).select(
+        "doc_id",
+        F.transform("parents_anchors", lambda s: s["parent"]).alias("parents_top5"),
+        "parents_anchors",
     )
     return children.join(parents, "doc_id", "outer")

@@ -70,6 +70,17 @@ def pagerank_step(
     return raw.select("doc_id", (F.col("raw_rank") / F.lit(float(total))).alias("rank"))
 
 
+def _dedup_edges(links: DataFrame) -> DataFrame:
+    """Distinct edges with outdegree; parallel edges collapse (a page
+    linking twice contributes once, matching the reference's child-set
+    dedup, crawler.go:163-169)."""
+    return (
+        links.select("src_doc", "dst_doc")
+        .distinct()
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("src_doc")))
+    )
+
+
 def compute_pagerank(
     spark: SparkSession,
     corpus: DataFrame,
@@ -78,8 +89,13 @@ def compute_pagerank(
     max_iters: int | None = None,
     epsilon: float | None = None,
 ) -> DataFrame:
-    """-> (doc_id, rank), converged. One shuffle per iteration; lineage
-    truncated every cfg.pr_checkpoint_every iterations."""
+    """-> (doc_id, rank), converged. One shuffle AND one driver action
+    per iteration: normalization totals are carried as driver-side
+    literals, and the convergence L1 delta is folded into the same
+    aggregate that computes the next total — checked one iteration
+    behind (delta(r_i, r_{i-1}) decides before r_{i+1} is normalized),
+    so the returned frame is identical to the check-then-stop loop.
+    Lineage truncated every cfg.pr_checkpoint_every iterations."""
     damping = cfg.damping
     epsilon = cfg.pr_epsilon if epsilon is None else epsilon
     max_iters = cfg.pr_max_iters if max_iters is None else max_iters
@@ -89,37 +105,55 @@ def compute_pagerank(
     if n == 0:
         return spark.createDataFrame([], "doc_id string, rank double")
 
-    # distinct edges with outdegree; parallel edges collapse (a page
-    # linking twice contributes once, matching the reference's child-set
-    # dedup, crawler.go:163-169)
-    edges = (
-        links.select("src_doc", "dst_doc")
-        .distinct()
-        .withColumn("outdeg", F.count("*").over(Window.partitionBy("src_doc")))
-        .cache()
-    )
+    edges = _dedup_edges(links).cache()
     edges.count()
 
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    prev = None  # r_{i-1}, for the delayed delta
 
     for it in range(max_iters):
-        new_ranks = pagerank_step(ranks, edges, nodes, damping)
+        contribs = (
+            ranks.join(edges, ranks["doc_id"] == edges["src_doc"])
+            .select(
+                F.col("dst_doc").alias("doc_id"),
+                (F.lit(damping) * F.col("rank") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("inherited"))
+        )
+        raw = (
+            nodes.join(contribs, "doc_id", "left")
+            .join(ranks.withColumnRenamed("rank", "cur"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("inherited"), F.lit(0.0))
+                    + F.lit(1.0 - damping)
+                ).alias("raw_rank"),
+                "cur",
+            )
+        )
+        if prev is not None:
+            raw = raw.join(
+                prev.withColumnRenamed("rank", "prevr"), "doc_id", "left"
+            )
+            agg = raw.agg(
+                F.sum("raw_rank").alias("t"),
+                F.sum(F.abs(F.col("cur") - F.coalesce("prevr", F.lit(0.0)))).alias(
+                    "d"
+                ),
+            ).first()
+            if agg["d"] is not None and agg["d"] < epsilon:
+                break  # r_it already converged; discard this iteration
+        else:
+            agg = raw.agg(F.sum("raw_rank").alias("t")).first()
+        total = float(agg["t"])
+        new_ranks = raw.select(
+            "doc_id", (F.col("raw_rank") / F.lit(total)).alias("rank")
+        )
         if (it + 1) % cfg.pr_checkpoint_every == 0 or it == max_iters - 1:
             new_ranks = new_ranks.localCheckpoint()
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "doc_id", "outer")
-            .select(
-                F.sum(
-                    F.abs(
-                        F.coalesce("rank", F.lit(0.0)) - F.coalesce("prev", F.lit(0.0))
-                    )
-                ).alias("d")
-            )
-            .first()["d"]
-        )
-        ranks = new_ranks
-        if delta is not None and delta < epsilon:
-            break
+        prev, ranks = ranks, new_ranks
 
     nodes.unpersist()
     edges.unpersist()

@@ -17,11 +17,31 @@ def test_query_cards(engine):
     assert 0 < len(cards) <= 5
     c = cards[0]
     for key in ("rank", "url", "final_rank", "title_rank", "body_rank",
-                "pagerank", "snippet", "top_words", "content_sha256"):
+                "pagerank", "snippet", "top_words", "parents", "children",
+                "content_sha256"):
         assert key in c
     assert c["rank"] == 1
     assert cards == sorted(cards, key=lambda x: (-x["final_rank"], x["doc_id"]))
     assert len(c["content_sha256"]) == 64
+
+
+def test_query_cards_family_anchor_terms(engine):
+    """Reference DocInfo.Parents carries the anchor terms each parent
+    credited (noschema_schema.go:34-44); the card must surface them."""
+    cards = engine.query("parse buffer", k=50)
+    with_parents = [c for c in cards if c["parents"]]
+    assert with_parents, "fixture corpus has inbound links"
+    p = with_parents[0]["parents"][0]
+    assert set(p) == {"parent", "terms"}
+    assert isinstance(p["terms"], list)
+    assert any(
+        p2["terms"] for c in with_parents for p2 in c["parents"]
+    ), "some parent carries anchor terms"
+    for c in with_parents:
+        assert len(c["parents"]) <= 5
+        assert [x["parent"] for x in c["parents"]] == sorted(
+            x["parent"] for x in c["parents"]
+        )
 
 
 def test_query_wand_path_matches(engine):

@@ -43,6 +43,76 @@ def test_sums_to_one_and_dangling_included(spark, corpus_tiny, pr_inputs):
     assert ranks.count() > n_corpus  # ghosts are ranked nodes too
 
 
+def test_topic_pagerank_single_category_equals_global(
+    spark, corpus_tiny, pr_inputs
+):
+    """With one category covering the whole corpus, per-category PR must
+    equal global PR (init 1/numPages = 1/n... except numPages counts
+    corpus docs while n counts graph nodes incl. dangling targets — the
+    reference has the same asymmetry, pagerank.go:60 numPages vs :100
+    setWebNodes; after normalization both converge to the same fixed
+    point, so compare at convergence)."""
+    from spaghettisearch_spark.operators.topics import compute_topic_pagerank
+
+    links, ranks = pr_inputs
+    topics = corpus_tiny.select("doc_id", F.lit("all").alias("category"))
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in compute_topic_pagerank(
+            spark, corpus_tiny, links, topics, epsilon=1e-12
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["rank"]
+        for r in compute_pagerank(
+            spark, corpus_tiny, links, epsilon=1e-12
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d, v in want.items():
+        assert got[d] == pytest.approx(v, rel=1e-6, abs=1e-10)
+
+
+def test_topic_pagerank_per_category_sums_to_one(spark, corpus_tiny, pr_inputs):
+    from spaghettisearch_spark.operators.topics import compute_topic_pagerank
+
+    links, _ = pr_inputs
+    topics = corpus_tiny.select(
+        "doc_id",
+        F.concat(F.lit("c"), (F.crc32("doc_id") % 3).cast("string")).alias(
+            "category"
+        ),
+    )
+    pr = compute_topic_pagerank(
+        spark, corpus_tiny, links, topics, max_iters=4, epsilon=0.0
+    ).cache()
+    sums = pr.groupBy("category").agg(F.sum("rank").alias("s")).collect()
+    assert len(sums) == 3
+    for r in sums:
+        assert r["s"] == pytest.approx(1.0, abs=1e-9)
+    # every category ranks the FULL node set (reference pagerank.go:100)
+    n_nodes = pr.select("doc_id").distinct().count()
+    assert pr.count() == 3 * n_nodes
+
+
+def test_topic_tables(spark, corpus_tiny, index_small):
+    from spaghettisearch_spark.operators import index_build as ib
+    from spaghettisearch_spark.operators.topics import build_topic_tables
+
+    tokens = ib.tokenize_fields(corpus_tiny)
+    topics = corpus_tiny.select(
+        "doc_id", F.substring("doc_id", 1, 1).alias("category")
+    )
+    terms, meta = build_topic_tables(tokens, topics)
+    # num_pages partitions the corpus; word_count totals the token volume
+    assert meta.agg(F.sum("num_pages")).first()[0] == corpus_tiny.count()
+    assert meta.agg(F.sum("word_count")).first()[0] == tokens.count()
+    one = terms.first()
+    import hashlib
+
+    assert one["term_id"] == hashlib.md5(one["term"].encode()).hexdigest()
+
+
 def test_linked_docs_outrank_isolated(spark, corpus_tiny, pr_inputs):
     links, ranks = pr_inputs
     linked = ranks.join(
