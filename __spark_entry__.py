@@ -510,6 +510,71 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_sessionize_stream(spark, sf_dir):
+    """STREAMING sessionization: replay the events table as a file-source
+    stream through the applyInPandasWithState operator (time-ordered
+    chunks -> monotone watermark, no late drops) and hash-match the
+    BATCH oracle. One sentinel event per user beyond max_ts + gap +
+    watermark closes every real session in-stream; sentinel sessions
+    stay open and are never emitted."""
+    import datetime as dt
+    import tempfile
+    import uuid
+
+    from spaghettisearch_spark.streaming.sessions import sessionize_stream
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = mx + dt.timedelta(minutes=30 + 10 + 5)
+    sentinels = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(sentinel_ts).cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    src = f"{tmp}/events"
+    # 4 time-range chunks written in order (file-source batches follow
+    # modification time, so the watermark only moves forward)
+    qs = ev.select(F.col("ts").cast("long").alias("s")).approxQuantile(
+        "s", [0.25, 0.5, 0.75], 0.001
+    )
+    bounds = [None, *qs, None]
+    for i in range(4):
+        chunk = ev
+        if bounds[i] is not None:
+            chunk = chunk.filter(F.col("ts").cast("long") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            chunk = chunk.filter(F.col("ts").cast("long") <= F.lit(bounds[i + 1]))
+        if i == 3:
+            chunk = chunk.unionByName(sentinels)
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    name = f"sess_{uuid.uuid4().hex[:10]}"
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        F.round(F.col("sum_value") * 100).cast("long").alias("sum_value_e2"),
+    )
+
+
 def q_orders_rank_window(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -789,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_json_extract": q_events_json_extract,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_stream": q_events_sessionize_stream,
         "orders_rank_window": q_orders_rank_window,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1048,6 +1114,7 @@ SELECT user_id,
        CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_e2
 FROM sessions GROUP BY user_id, session_id
 """
+    sqls["events_sessionize_stream"] = sqls["events_sessionize"]
     sqls["orders_rank_window"] = """
 WITH r AS (
   SELECT o_custkey, o_orderkey,

@@ -110,6 +110,11 @@ def main() -> None:
         "q_wand": lambda: wand_topk(
             spark, idx, ["spark", "query", "scan"], cfg, k=50, n_buckets=cpus
         ),
+        # hot term (df ~ 1.0): the vectorized bucket kernel must keep WAND
+        # at-or-under the exhaustive path even when pruning can't skip
+        "q_wand_hot": lambda: wand_topk(
+            spark, idx, ["table"], cfg, k=50, n_buckets=cpus
+        ),
     }
     # compressed path: build shards once, query via pruned decode + WAND
     from spaghettisearch_spark.operators.compression import build_posting_shards
@@ -160,13 +165,22 @@ def main() -> None:
     simhash60(tf, "id").count()
     timings["simhash"] = round(time.time() - t0, 4)
 
-    from spaghettisearch_spark.operators.similarity import cosine_topk
+    from spaghettisearch_spark.operators.similarity import (
+        cosine_topk,
+        srp_near_dup_pairs,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     t0 = time.time()
     cosine_topk(emb, list(qv), k=10).collect()
     timings["ann_cosine_topk"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    srp_near_dup_pairs(
+        emb, dim=len(qv), threshold=0.55, n_planes=4, hamming=2
+    ).count()
+    timings["near_dup_srp"] = round(time.time() - t0, 4)
 
     total = time.time() - t_total0
     out = {

@@ -26,12 +26,15 @@ def _exhaustive(spark, index_small, query, k, pagerank=None):
     return search(spark, index_small, query, DEFAULT, pagerank=pagerank, k=k).collect()
 
 
+@pytest.mark.parametrize("kernel", ["taat", "daat"])
 @pytest.mark.parametrize("query", TERM_QUERIES)
-def test_wand_matches_exhaustive(spark, index_small, query):
+def test_wand_matches_exhaustive(spark, index_small, query, kernel):
     k = 20
     terms, _ = parse_query(query)
     want = _exhaustive(spark, index_small, query, k)
-    got = wand_topk(spark, index_small, terms, DEFAULT, k=k, n_buckets=4).collect()
+    got = wand_topk(
+        spark, index_small, terms, DEFAULT, k=k, n_buckets=4, kernel=kernel
+    ).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
     for g, w in zip(got, want):
         assert g["score"] == pytest.approx(w["score"], rel=1e-9, abs=1e-12)
