@@ -360,6 +360,30 @@ def q_topic_meta(spark, sf_dir):
     return meta.select("category", "num_pages", "word_count")
 
 
+def q_graph_family_top5(spark, sf_dir):
+    """family_top5 over the synthetic deterministic graph — the
+    reference's top-5 parents/children result-card fields
+    (retrieval/util.go:56-92). Lists emitted as CSV strings (the driver
+    canonicalizer can't hash list cells)."""
+    from spaghettisearch_spark.operators.incremental import family_top5
+
+    links = _edges(spark, sf_dir).select(
+        F.col("src").cast("string").alias("src_doc"),
+        F.col("dst").cast("string").alias("dst_doc"),
+        F.array().cast("array<string>").alias("anchor_terms"),
+    )
+    fam = family_top5(links)
+    return fam.select(
+        F.col("doc_id").cast("long").alias("node"),
+        F.concat_ws(",", F.coalesce("children_top5", F.array())).alias(
+            "children_csv"
+        ),
+        F.concat_ws(",", F.coalesce("parents_top5", F.array())).alias(
+            "parents_csv"
+        ),
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -766,6 +790,20 @@ def q_lsh_jaccard_verified(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Dedup clustering: connected components over the verified near-dup
+    pairs — (doc, cluster) with cluster = min doc id in the component
+    (the canonical keep-doc). Oracle: DuckDB recursive reachability."""
+    from spaghettisearch_spark.operators.graph import connected_components
+
+    pairs = q_lsh_jaccard_verified(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 # --- rows-only entries (no SQL oracle; driver records weaker check) ------
 
 def q_porter2_stem_vocab(spark, sf_dir):
@@ -841,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words_per_doc": q_top_words_per_doc,
         "doc_sha256": q_doc_sha256,
         "graph_out_degree": q_graph_out_degree,
+        "graph_family_top5": q_graph_family_top5,
         "pagerank_3iter": q_pagerank_3iter,
         "pagerank_topic": q_pagerank_topic,
         "topic_term_stats": q_topic_term_stats,
@@ -868,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
+        "dup_clusters": q_dup_clusters,
         # rows-only (non-SQL-expressible) entries
         "porter2_stem_vocab": q_porter2_stem_vocab,
         "ann_srp_top10": q_ann_srp_top10,
@@ -950,6 +990,24 @@ FROM documents
     sqls["graph_out_degree"] = f"""
 WITH {_EDGES_SQL}
 SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src
+"""
+    sqls["graph_family_top5"] = f"""
+WITH {_EDGES_SQL},
+se AS (SELECT CAST(src AS VARCHAR) AS s, CAST(dst AS VARCHAR) AS d, src, dst FROM edges),
+ch AS (
+  SELECT src AS node,
+         array_to_string(list_sort(list(DISTINCT d))[1:5], ',') AS children_csv
+  FROM se GROUP BY src
+),
+pa AS (
+  SELECT dst AS node,
+         array_to_string(list_sort(list(DISTINCT s))[1:5], ',') AS parents_csv
+  FROM se GROUP BY dst
+)
+SELECT COALESCE(ch.node, pa.node)::BIGINT AS node,
+       COALESCE(children_csv, '') AS children_csv,
+       COALESCE(parents_csv, '') AS parents_csv
+FROM ch FULL OUTER JOIN pa ON ch.node = pa.node
 """
     sqls["pagerank_3iter"] = f"""
 WITH {_EDGES_SQL},
@@ -1273,8 +1331,7 @@ WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.2
         f"FROM sh GROUP BY doc_id"
         for s in range(8)
     )
-    sqls["lsh_jaccard_verified"] = f"""
-WITH {_TL},
+    shingle_pair_ctes = f"""{_TL},
 sh AS (
   SELECT DISTINCT doc_id,
          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
@@ -1298,13 +1355,36 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b,
+         n_inter::DOUBLE / (sa.n + sb.n - n_inter) AS jaccard
+  FROM inter i
+  JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.2
+)"""
+    sqls["lsh_jaccard_verified"] = f"""
+WITH {shingle_pair_ctes}
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       CAST(ROUND(jaccard * 1e6) AS BIGINT) AS jaccard_e6
+FROM vpairs
+"""
+    sqls["dup_clusters"] = f"""
+WITH RECURSIVE {shingle_pair_ctes},
+und AS (
+  SELECT id_a AS s, id_b AS d FROM vpairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM vpairs
+),
+cnodes AS (SELECT DISTINCT s AS id FROM und),
+reach(id, root) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT u.d, r.root FROM reach r JOIN und u ON u.s = r.id
 )
-SELECT i.id_a::BIGINT AS id_a, i.id_b::BIGINT AS id_b,
-       CAST(ROUND(n_inter::DOUBLE / (sa.n + sb.n - n_inter) * 1e6) AS BIGINT) AS jaccard_e6
-FROM inter i
-JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.2
+SELECT id::BIGINT AS doc_id, MIN(root)::BIGINT AS component
+FROM reach GROUP BY id
 """
     return sqls

@@ -1,0 +1,76 @@
+"""Graph utilities for dedup pipelines: connected components over a
+candidate-pair edge list.
+
+A near-dup pipeline ends by GROUPING verified pairs into clusters and
+electing one canonical doc per cluster (keep-min). Pairs alone can't do
+that — (a,b), (b,c) must collapse to one cluster {a,b,c} — so this is
+iterative min-label propagation as DataFrame joins, the same shape as
+PageRank's power iteration:
+
+    label(v) <- min(label(v), min over neighbors' labels)
+
+until a fixpoint. Convergence: the min label of a component spreads one
+hop per iteration, so iterations <= graph diameter; each iteration is
+one join + one groupBy shuffle. At 100 TB replace the plain propagation
+with the large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — same join/agg primitives, fewer
+rounds on high-diameter graphs; near-dup graphs are dense/low-diameter,
+where plain propagation already terminates in a handful of rounds.
+
+Oracle: DuckDB WITH RECURSIVE reachability + MIN(root) — bit-identical
+cluster ids (min doc id per component), see __spark_entry__.dup_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """pairs(a, b) undirected -> (id, component) with component = the
+    minimum id in the connected component (deterministic canonical
+    representative — the keep-doc of a dedup cluster)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # candidate label from neighbors: min over incoming components
+        from_nbrs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("component").alias("nbr"))
+            .groupBy("id")
+            .agg(F.min("nbr").alias("nbr_min"))
+        )
+        updated = labels.join(from_nbrs, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+            (
+                F.coalesce("nbr_min", F.col("component")) < F.col("component")
+            ).alias("changed"),
+        )
+        updated = updated.localCheckpoint()
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -281,30 +281,33 @@ def _wand_from_hits(
         .when(F.col("field") == FIELD_BODY, F.lit(cfg.w_body))
         .otherwise(F.lit(0.0))
     )
-    per_doc_term = (
-        hits.select(
-            "doc_id",
-            "qterm_id",
-            (F.col("contrib") * F.col("qtf")).alias("raw"),
-            (fw * F.col("contrib") * F.col("qtf") * F.lit(cfg.blend_scale)).alias(
-                "blended"
-            ),
-            F.when(F.col("field") == FIELD_TITLE, F.col("contrib") * F.col("qtf"))
-            .otherwise(F.lit(0.0))
-            .alias("title_c"),
-            F.when(F.col("field") == FIELD_BODY, F.col("contrib") * F.col("qtf"))
-            .otherwise(F.lit(0.0))
-            .alias("body_c"),
-        )
-        # a doc can hit the same query term in BOTH fields: collapse to one
-        # posting per (doc, qterm) so document-at-a-time sees one cursor each
-        .groupBy("doc_id", "qterm_id")
-        .agg(
+    per_posting = hits.select(
+        "doc_id",
+        "qterm_id",
+        (fw * F.col("contrib") * F.col("qtf") * F.lit(cfg.blend_scale)).alias(
+            "blended"
+        ),
+        F.when(F.col("field") == FIELD_TITLE, F.col("contrib") * F.col("qtf"))
+        .otherwise(F.lit(0.0))
+        .alias("title_c"),
+        F.when(F.col("field") == FIELD_BODY, F.col("contrib") * F.col("qtf"))
+        .otherwise(F.lit(0.0))
+        .alias("body_c"),
+    )
+    if kernel == "daat":
+        # a doc can hit the same query term in BOTH fields: collapse to
+        # one posting per (doc, qterm) so document-at-a-time sees one
+        # cursor each. The vectorized kernel's scatter-add collapses
+        # duplicates natively, so it skips this whole shuffle — posting
+        # rows flow straight into the bucket partitioning (halves the
+        # query path's shuffle volume).
+        per_doc_term = per_posting.groupBy("doc_id", "qterm_id").agg(
             F.sum("blended").alias("contrib"),
             F.sum("title_c").alias("title_c"),
             F.sum("body_c").alias("body_c"),
         )
-    )
+    else:
+        per_doc_term = per_posting.withColumnRenamed("blended", "contrib")
     if pagerank is not None:
         # exact PR blending: PR becomes one more WAND term, present for
         # every candidate doc — its bucket max feeds the upper bounds, so

@@ -145,8 +145,25 @@ def run_stage(
     writer.parquet(out_dir)
 
     written = spark.read.parquet(out_dir)
-    rows = written.count()
-    partitions = written.rdd.getNumPartitions()
+    # one verification pass yields BOTH the row count and the
+    # per-partition row histogram (north rule: per-partition lineage +
+    # metrics — skew is visible in the sidecar, not discovered later)
+    from pyspark.sql import functions as F
+
+    hist = (
+        written.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .agg(
+            F.sum("count").alias("rows"),
+            F.count("*").alias("n_parts"),
+            F.min("count").alias("p_min"),
+            F.max("count").alias("p_max"),
+            F.avg("count").alias("p_avg"),
+        )
+        .first()
+    )
+    rows = int(hist["rows"] or 0)
+    partitions = int(hist["n_parts"] or 0)
     seconds = time.time() - t0
     meta = {
         "stage": name,
@@ -154,6 +171,11 @@ def run_stage(
         "input_fingerprint": input_fingerprint,
         "rows_out": rows,
         "partitions": partitions,
+        "partition_rows": {
+            "min": int(hist["p_min"] or 0),
+            "max": int(hist["p_max"] or 0),
+            "avg": round(float(hist["p_avg"] or 0.0), 1),
+        },
         "wall_seconds": round(seconds, 3),
         "partition_by": partition_by or [],
         "written_at_unix": int(time.time()),

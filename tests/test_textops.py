@@ -115,6 +115,21 @@ def test_shingles_and_jaccard(spark, toks):
     assert pairs[(1, 2)] == pytest.approx(2 / (3 + 3 - 2))
 
 
+def test_connected_components(spark):
+    """Min-label propagation: chains collapse, islands stay apart,
+    component id = min member (the dedup keep-doc)."""
+    from spaghettisearch_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 11), (20, 21), (40, 41), (41, 40)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 40, 41: 40}
+
+
 def test_language_id(spark):
     from spaghettisearch_spark.operators.textops import language_id_scores
 
