@@ -132,25 +132,13 @@ def build_postings(tokens: DataFrame) -> DataFrame:
     )
 
 
-def build_doc_stats(tokens: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
-    """(doc_id, field, dl) — BM25 document length (token count incl. anchors).
-
-    When ``corpus`` is given, every (doc, field) pair gets a row — docs
-    whose field tokenizes to nothing carry dl=0, so avgdl averages over
-    the WHOLE collection. This matches both oracles (the DuckDB mirror's
-    ``AVG(len(toks))`` over all documents and the pandas oracle), which
-    previously diverged from the engine for empty/all-stopword docs."""
-    counts = tokens.groupBy("doc_id", "field").agg(
+def build_doc_stats(tokens: DataFrame) -> DataFrame:
+    """(doc_id, field, dl) — BM25 document length (token count incl.
+    anchors). Docs whose field tokenizes to nothing have NO row here
+    (they'd match no posting anyway); whole-collection averaging is
+    handled in build_corpus_stats via sum(dl)/n_docs."""
+    return tokens.groupBy("doc_id", "field").agg(
         F.count("*").cast("long").alias("dl")
-    )
-    if corpus is None:
-        return counts
-    scaffold = corpus.select("doc_id").distinct().select(
-        "doc_id",
-        F.explode(F.array(F.lit(FIELD_TITLE), F.lit(FIELD_BODY))).alias("field"),
-    )
-    return scaffold.join(counts, ["doc_id", "field"], "left").select(
-        "doc_id", "field", F.coalesce("dl", F.lit(0).cast("long")).alias("dl")
     )
 
 
@@ -164,11 +152,18 @@ def build_term_stats(postings: DataFrame) -> DataFrame:
 
 def build_corpus_stats(corpus: DataFrame, doc_stats: DataFrame) -> DataFrame:
     """(field, n_docs, avgdl).  n_docs is the corpus size (reference counts
-    the rank table, ranking/term_weighting.go:12-17)."""
+    the rank table, ranking/term_weighting.go:12-17).
+
+    avgdl = sum(dl) / n_docs, NOT avg over doc_stats rows: empty /
+    all-stopword docs have no doc_stats row but still belong to the
+    collection, and both oracles (DuckDB AVG(len(toks)) over all
+    documents; the pandas oracle) include them. Zero-dl docs add 0 to
+    the sum, so dividing by the full corpus count is exactly the
+    whole-collection mean — no scaffold join needed."""
     n_docs = corpus.count()
     return doc_stats.groupBy("field").agg(
         F.lit(n_docs).cast("long").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        (F.sum("dl") / F.lit(float(n_docs))).alias("avgdl"),
     )
 
 
@@ -275,7 +270,7 @@ def build_index(
     postings = build_postings(tokens)
     if persist:
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-    doc_stats = build_doc_stats(tokens, corpus)
+    doc_stats = build_doc_stats(tokens)
     term_stats = build_term_stats(postings)
     corpus_stats = build_corpus_stats(corpus, doc_stats)
     stats_rows = corpus_stats.collect()

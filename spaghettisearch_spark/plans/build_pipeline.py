@@ -123,7 +123,7 @@ def build_all(
         partition_by=["bucket"], sort_by=["term"],
     )
     doc_stats = stage(
-        "doc_stats", lambda: ib.build_doc_stats(tokens, corpus), input_fingerprint=fp
+        "doc_stats", lambda: ib.build_doc_stats(tokens), input_fingerprint=fp
     )
     term_stats = stage(
         "term_stats",
