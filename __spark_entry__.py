@@ -616,6 +616,28 @@ def q_orders_rank_window(spark, sf_dir):
     )
 
 
+def q_orders_above_cust_avg(spark, sf_dir):
+    """Correlated-subquery pattern (orders strictly above the customer's
+    own average) decorrelated into a window — the rewrite any engine
+    wants at scale. Comparison done in exact integer cents
+    (cents * n > sum_cents) so no float-boundary flip between engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey")
+    out = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("s", F.sum("cents").over(w))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_above"),
+            F.sum("cents").cast("long").alias("sum_above_e2"),
+        )
+    )
+    return out
+
+
 def q_dedup_exact(spark, sf_dir):
     from spaghettisearch_spark.operators.textops import exact_dup_groups
 
@@ -824,6 +846,17 @@ def q_ann_srp_top10(spark, sf_dir):
     return res.select("vec_id", _e("cosine", 100000).alias("cos_e5"))
 
 
+def q_ann_ivf_top10(spark, sf_dir):
+    """IVF-style ANN (coarse quantize -> probe nearest cells -> exact
+    cosine inside). Approximate by design -> rows-only."""
+    from spaghettisearch_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 2).select("embedding").first()[0]
+    res = ivf_topk(emb, list(qv), k=10, n_cells=8, n_probe=2)
+    return res.select("vec_id", _e("cosine", 100000).alias("cos_e5"))
+
+
 def q_fixture_flagship(spark, sf_dir):
     """Full engine semantics (stemming + phrase + field weights + anchor
     credit + PageRank blend) on the self-generated fixture corpus —
@@ -895,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
         "orders_rank_window": q_orders_rank_window,
+        "orders_above_cust_avg": q_orders_above_cust_avg,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -911,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible) entries
         "porter2_stem_vocab": q_porter2_stem_vocab,
         "ann_srp_top10": q_ann_srp_top10,
+        "ann_ivf_top10": q_ann_ivf_top10,
         "fixture_flagship": q_fixture_flagship,
     }
 
@@ -1182,6 +1217,17 @@ WITH r AS (
   FROM orders
 )
 SELECT o_custkey, o_orderkey, price_e2, rn::INT AS rn FROM r WHERE rn <= 2
+"""
+    sqls["orders_above_cust_avg"] = """
+WITH c AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS s
+  FROM orders
+)
+SELECT o_custkey, COUNT(*)::BIGINT AS n_above, SUM(cents)::BIGINT AS sum_above_e2
+FROM c WHERE cents * n > s GROUP BY o_custkey
 """
     sqls["dedup_exact"] = """
 SELECT md5(text) AS content_md5, COUNT(*)::BIGINT AS n_dupes,

@@ -125,6 +125,84 @@ def ann_topk_bucketed(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — assign each vector to its max-cosine centroid. The
+    argmax runs JVM-side: array_max over (cos, cell) structs (lexical
+    struct ordering), no Python crossing."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = []
+    for i, c in enumerate(centroids):
+        cv = F.lit([float(x) for x in c]).cast("array<double>")
+        scored.append(
+            F.struct(
+                (_dot(v, cv) / (_norm(v) * _norm(cv))).alias("cos"),
+                F.lit(i).alias("cell"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return embeddings.select(F.col(id_col), best["cell"].alias("cell"))
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic stride sample over the id order as centroid seeds —
+    the slot where a k-means refinement pass plugs in at scale (Lloyd
+    iterations are the same assign+groupBy-avg DataFrame ops as
+    ivf_cells; one pass of stratified seeds is the cheap, reproducible
+    baseline)."""
+    n = embeddings.count()
+    stride = max(n // n_cells, 1)
+    from pyspark.sql import Window as W
+
+    ranked = embeddings.select(
+        F.col(vec_col).alias("v"),
+        F.row_number().over(W.orderBy(F.col(id_col))).alias("rn"),
+    ).filter(((F.col("rn") - 1) % stride == 0) & (F.col("rn") <= stride * n_cells))
+    return [list(r["v"]) for r in ranked.collect()]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize vectors into
+    ``n_cells`` centroid cells, probe the ``n_probe`` cells nearest the
+    query, exact cosine inside the probed cells. The inverted-list scan
+    reduction is n_probe/n_cells; recall depends on how well cells
+    capture neighborhoods (see test_textops clustered-fixture gate)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        sims.append((float(qv @ cv) / (qn * float(np.linalg.norm(cv))), i))
+    probe = [cell for _s, cell in sorted(sims, reverse=True)[:n_probe]]
+    cells = ivf_cells(embeddings, centroids, id_col, vec_col)
+    cand = embeddings.join(
+        cells.filter(F.col("cell").isin(probe)).select(id_col), id_col
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def srp_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -59,6 +59,11 @@ class BuiltIndex:
     def pagerank(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(f"{self.warehouse}/pagerank")
 
+    def topic_pagerank(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, category, rank) — reference forw[3] DocHash_rank
+        map[category]float64, edge-list shaped."""
+        return spark.read.parquet(f"{self.warehouse}/pagerank_topic")
+
     def shards(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(f"{self.warehouse}/posting_shards")
 
@@ -87,8 +92,11 @@ def build_all(
     resume: bool = True,
     with_pagerank: bool = True,
     with_shards: bool = True,
+    topics: DataFrame | None = None,
 ) -> BuiltIndex:
-    """Run the whole build; every stage resumable."""
+    """Run the whole build; every stage resumable. ``topics`` (doc_id,
+    category) additionally materializes topic_terms / topic_meta /
+    pagerank_topic — the reference's per-category post-pass."""
     stages: list[StageResult] = []
     w = warehouse.rstrip("/")
 
@@ -212,4 +220,36 @@ def build_all(
             lambda: compute_pagerank(spark, corpus, links, cfg),
             input_fingerprint=fp,
         )
+    if topics is not None:
+        # reference post-pass ordering: UpdateTopicSensitivePagerank runs
+        # after the crawl/index (cmd/crawl/start_crawl.go:175); here the
+        # ODP scrape's product tables come from the static topics frame
+        from ..operators.topics import build_topic_tables, compute_topic_pagerank
+
+        topics = topics.cache()
+        tfp = fp + ",topics=" + corpus_fingerprint_topics(topics)
+        stage(
+            "topic_terms",
+            lambda: build_topic_tables(tokens, topics)[0],
+            input_fingerprint=tfp,
+        )
+        stage(
+            "topic_meta",
+            lambda: build_topic_tables(tokens, topics)[1].coalesce(1),
+            input_fingerprint=tfp,
+        )
+        stage(
+            "pagerank_topic",
+            lambda: compute_topic_pagerank(spark, corpus, links, topics, cfg),
+            input_fingerprint=tfp,
+        )
+        topics.unpersist()
     return BuiltIndex(warehouse=w, stages=stages)
+
+
+def corpus_fingerprint_topics(topics: DataFrame) -> str:
+    row = topics.select(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, category))").alias("x"),
+    ).first()
+    return f"n={row['n']},x={row['x']}"

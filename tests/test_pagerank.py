@@ -113,6 +113,34 @@ def test_topic_tables(spark, corpus_tiny, index_small):
     assert one["term_id"] == hashlib.md5(one["term"].encode()).hexdigest()
 
 
+def test_pipeline_topic_stages(spark, docs_tiny, tmp_path):
+    """build_all(topics=...) materializes the reference's post-pass
+    tables (topic_terms / topic_meta / pagerank_topic) as resumable
+    stages."""
+    from spaghettisearch_spark.plans.build_pipeline import build_all
+
+    wh = str(tmp_path / "wh")
+    docs = spark.createDataFrame(docs_tiny)
+    from spaghettisearch_spark.sources.corpus import ingest
+
+    topics = ingest(docs).select(
+        "doc_id", F.substring("doc_id", 1, 1).alias("category")
+    )
+    built = build_all(
+        spark, docs, wh, with_pagerank=False, with_shards=False, topics=topics
+    )
+    names = {s.name for s in built.stages}
+    assert {"topic_terms", "topic_meta", "pagerank_topic"} <= names
+    pr = built.topic_pagerank(spark)
+    sums = pr.groupBy("category").agg(F.sum("rank").alias("s")).collect()
+    assert sums and all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+    # resumable: identical rerun skips every stage
+    again = build_all(
+        spark, docs, wh, with_pagerank=False, with_shards=False, topics=topics
+    )
+    assert all(s.skipped for s in again.stages)
+
+
 def test_linked_docs_outrank_isolated(spark, corpus_tiny, pr_inputs):
     links, ranks = pr_inputs
     linked = ranks.join(

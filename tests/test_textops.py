@@ -210,6 +210,24 @@ def test_ann_recall_vs_exact(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF with one stride-seed per cluster recovers the exact top-10 on
+    clustered data while scanning n_probe/n_cells of the vectors."""
+    from spaghettisearch_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _clustered_embeddings(spark).cache()
+    recalls = []
+    for qid in (0, 25, 61, 119):
+        qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()]
+        approx = [
+            r["vec_id"]
+            for r in ivf_topk(emb, qv, k=10, n_cells=10, n_probe=2).collect()
+        ]
+        recalls.append(len(set(approx) & set(exact)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_srp_near_dup_pairs_vs_exact(spark):
     """Bucketed near-dup (the default scale path) must reproduce the
     exact all-pairs result on the planted-duplicate fixture."""
