@@ -599,6 +599,33 @@ def q_events_sessionize_stream(spark, sf_dir):
     )
 
 
+def q_events_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`: both sort and linearly interpolate at
+    p*(n-1), so the doubles are bit-identical)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") * 100000).cast("long").alias("p50_e5"),
+        F.round(F.expr("percentile(value, 0.9)") * 100000).cast("long").alias("p90_e5"),
+        F.round(F.expr("percentile(value, 0.99)") * 100000).cast("long").alias("p99_e5"),
+    )
+
+
+def q_events_lookback_join(spark, sf_dir):
+    """Interval self-join: each event paired with the same user's events
+    in the 10 minutes before it (streaming/joins.interval_self_join —
+    identical plan runs as a watermarked stream-stream join), aggregated
+    per (type, preceding type)."""
+    from spaghettisearch_spark.streaming.joins import interval_self_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = interval_self_join(ev, lookback_minutes=10)
+    return pairs.groupBy("a_type", "b_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("b_value") * 100).cast("long").alias("sum_b_e2"),
+    )
+
+
 def q_orders_rank_window(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -925,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_supplier_counts": q_region_supplier_counts,
         "events_hourly": q_events_hourly,
         "events_json_extract": q_events_json_extract,
+        "events_value_quantiles": q_events_value_quantiles,
+        "events_lookback_join": q_events_lookback_join,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
         "orders_rank_window": q_orders_rank_window,
@@ -1208,6 +1237,24 @@ SELECT user_id,
 FROM sessions GROUP BY user_id, session_id
 """
     sqls["events_sessionize_stream"] = sqls["events_sessionize"]
+    sqls["events_lookback_join"] = """
+SELECT a.event_type AS a_type, b.event_type AS b_type,
+       COUNT(*)::BIGINT AS n,
+       CAST(ROUND(SUM(b.value) * 100) AS BIGINT) AS sum_b_e2
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts < a.ts
+ AND b.ts >= a.ts - INTERVAL 10 MINUTE
+GROUP BY 1, 2
+"""
+    sqls["events_value_quantiles"] = """
+SELECT event_type,
+       CAST(ROUND(quantile_cont(value, 0.5) * 100000) AS BIGINT) AS p50_e5,
+       CAST(ROUND(quantile_cont(value, 0.9) * 100000) AS BIGINT) AS p90_e5,
+       CAST(ROUND(quantile_cont(value, 0.99) * 100000) AS BIGINT) AS p99_e5
+FROM events GROUP BY event_type
+"""
     sqls["orders_rank_window"] = """
 WITH r AS (
   SELECT o_custkey, o_orderkey,

@@ -134,6 +134,39 @@ def test_windowed_query_stats_batch_parity(spark, tmp_path):
         assert r["sum_value"] == pytest.approx(sv, rel=1e-9)
 
 
+def test_interval_self_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) must emit
+    exactly the batch self-join's pairs."""
+    from spaghettisearch_spark.streaming.joins import interval_self_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = {
+        (r["user_id"], r["a_ts"], r["b_ts"], r["a_type"], r["b_type"])
+        for r in interval_self_join(ev, lookback_minutes=10).collect()
+    }
+    assert batch  # fixture has same-user events within 10 minutes
+
+    src = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        interval_self_join(stream, lookback_minutes=10)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["a_ts"], r["b_ts"], r["a_type"], r["b_type"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == batch
+
+
 def test_multimodal_features(spark, corpus_tiny):
     from spaghettisearch_spark.operators.multimodal import (
         attach_fake_media,
