@@ -130,6 +130,44 @@ def test_connected_components(spark):
     assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 40, 41: 40}
 
 
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graphs vs a plain union-find mirror."""
+    import random
+
+    from spaghettisearch_spark.operators.graph import connected_components
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(30))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        want = {x: find(x) for x in nodes}
+        # canonicalize: min member per root
+        roots: dict = {}
+        for x in sorted(nodes):
+            roots.setdefault(want[x], x)
+        want = {x: roots[want[x]] for x in nodes}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
 def test_language_id(spark):
     from spaghettisearch_spark.operators.textops import language_id_scores
 
