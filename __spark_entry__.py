@@ -129,8 +129,33 @@ def _engine_index(spark: SparkSession, sf_dir: str):
         idx.postings.cache().count()
         idx.doc_stats.cache()
         idx.term_stats.cache()
+        idx._driver_corpus = corpus
         _INDEX_CACHE[sf_dir] = idx
     return _INDEX_CACHE[sf_dir]
+
+
+_SHARDS_CACHE: dict[str, tuple] = {}
+
+
+def _engine_shards(spark: SparkSession, sf_dir: str):
+    """Compressed posting shards + doc_map over the driver corpus
+    (the north-rule storage path), cached per sf_dir."""
+    if sf_dir not in _SHARDS_CACHE:
+        from spaghettisearch_spark.operators.compression import (
+            build_posting_shards,
+        )
+        from spaghettisearch_spark.operators.wand import build_doc_map
+
+        idx = _engine_index(spark, sf_dir)
+        corpus = idx._driver_corpus
+        n_docs = corpus.count()
+        shards = build_posting_shards(
+            idx.postings.withColumn("weight", F.col("bm25_weight")), n_docs, CFG
+        ).cache()
+        shards.count()
+        doc_map = build_doc_map(corpus).cache()
+        _SHARDS_CACHE[sf_dir] = (shards, doc_map)
+    return _SHARDS_CACHE[sf_dir]
 
 
 def _e(col, scale: int):
@@ -232,6 +257,50 @@ def q_wand_topk(spark, sf_dir):
     idx = _engine_index(spark, sf_dir)
     res = wand_topk(spark, idx, QUERY_TERMS, CFG, k=20, n_buckets=8)
     return res.select(F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5"))
+
+
+def q_wand_topk_shards(spark, sf_dir):
+    """Exact top-k straight from the COMPRESSED posting shards (pruned
+    scan -> varbyte decode -> WAND) — must hash-match the same BM25
+    oracle as the in-memory paths."""
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    shards, doc_map = _engine_shards(spark, sf_dir)
+    res = wand_topk_from_shards(
+        spark, shards, doc_map, QUERY_TERMS, CFG, k=20, n_buckets=8
+    )
+    return res.select(
+        F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5")
+    )
+
+
+def q_phrase_topk_shards(spark, sf_dir):
+    """Phrase top-k from the COMPRESSED shards: pruned scan -> varbyte
+    position decode -> offset-adjust intersect -> field blend. Same
+    oracle as phrase_topk."""
+    from spaghettisearch_spark.operators.phrase import phrase_matches_from_shards
+
+    shards, doc_map = _engine_shards(spark, sf_dir)
+    m = phrase_matches_from_shards(spark, shards, doc_map, list(PHRASE), CFG)
+    scored = (
+        m.groupBy("doc_id")
+        .pivot("field", ["title", "body"])
+        .agg(F.sum("contrib"))
+        .select(
+            "doc_id",
+            (
+                (
+                    F.lit(CFG.w_title) * F.coalesce("title", F.lit(0.0))
+                    + F.lit(CFG.w_body) * F.coalesce("body", F.lit(0.0))
+                )
+                * F.lit(CFG.blend_scale)
+            ).alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return topk.select(
+        F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5")
+    )
 
 
 def q_phrase_topk(spark, sf_dir):
@@ -934,7 +1003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_weights": q_tfidf_weights,
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
+        "wand_topk_shards": q_wand_topk_shards,
         "phrase_topk": q_phrase_topk,
+        "phrase_topk_shards": q_phrase_topk_shards,
         "vocab_prefix": q_vocab_prefix,
         "top_words_per_doc": q_top_words_per_doc,
         "doc_sha256": q_doc_sha256,
@@ -1007,6 +1078,7 @@ FROM tf JOIN mx USING (did) JOIN df USING (term)
 """
     sqls["bm25_topk"] = _bm25_sql(QUERY_TERMS, 20)
     sqls["wand_topk"] = _bm25_sql(QUERY_TERMS, 20)
+    sqls["wand_topk_shards"] = _bm25_sql(QUERY_TERMS, 20)
     t1, t2 = PHRASE
     sqls["phrase_topk"] = f"""
 WITH {_TOKS},
@@ -1033,6 +1105,7 @@ scored AS (SELECT did, SUM(contrib) * {BODY_W} AS score FROM hits GROUP BY did)
 SELECT did, CAST(ROUND(score * 100000) AS BIGINT) AS score_e5
 FROM scored ORDER BY score DESC, did ASC LIMIT 20
 """
+    sqls["phrase_topk_shards"] = sqls["phrase_topk"]
     sqls["vocab_prefix"] = f"""
 WITH {_TOKS}
 SELECT DISTINCT term FROM toks WHERE term LIKE 's%' ORDER BY term
