@@ -16,9 +16,6 @@ def test_stream_ingest_matches_batch(spark, docs_tiny, tmp_path):
     wh = str(tmp_path / "wh")
     # two "arrivals"
     docs = spark.createDataFrame(docs_tiny)
-    docs.filter(F.md5("path").startswith(tuple("01234567"))).write.parquet(
-        f"{in_dir}/part1"
-    ) if False else None
     half1 = docs.limit(30)
     half2 = docs.subtract(half1)
     half1.coalesce(1).write.mode("overwrite").parquet(in_dir)
