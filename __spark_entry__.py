@@ -908,6 +908,15 @@ def q_lsh_jaccard_verified(spark, sf_dir):
     )
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash split (80/10/10) of the documents table —
+    stable train/val/test assignment, bit-identical in DuckDB."""
+    from spaghettisearch_spark.operators.textops import hash_split
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_dup_clusters(spark, sf_dir):
     """Dedup clustering: connected components over the verified near-dup
     pairs — (doc, cluster) with cluster = min doc id in the component
@@ -1042,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "dup_clusters": q_dup_clusters,
+        "train_val_split": q_train_val_split,
         # rows-only (non-SQL-expressible) entries
         "porter2_stem_vocab": q_porter2_stem_vocab,
         "ann_srp_top10": q_ann_srp_top10,
@@ -1337,6 +1347,13 @@ WITH r AS (
   FROM orders
 )
 SELECT o_custkey, o_orderkey, price_e2, rn::INT AS rn FROM r WHERE rn <= 2
+"""
+    sqls["train_val_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {h60("CAST(doc_id AS VARCHAR)", "split:")} % 10000 < 8000 THEN 'train'
+            WHEN {h60("CAST(doc_id AS VARCHAR)", "split:")} % 10000 < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """
     sqls["orders_above_cust_avg"] = """
 WITH c AS (

@@ -33,6 +33,35 @@ from pyspark.sql import functions as F
 from ..functions.hashing import term_hash60_col
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split:",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """+ ``split`` column — deterministic train/val/test assignment by
+    portable 60-bit hash of the id: bucket = hash60(salt||id) % buckets,
+    split = the cumulative-fraction range the bucket falls in. Stable
+    across runs/engines (same rows land in the same split forever —
+    the property random splits lose on re-runs), leakage-safe when the
+    id is the dedup-cluster representative rather than the raw doc id.
+    """
+    items = list(fractions.items())
+    bucket = F.pmod(
+        term_hash60_col(F.col(id_col).cast("string"), salt=salt), F.lit(buckets)
+    )
+    expr = None
+    acc = 0.0
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = bucket < F.lit(int(round(acc * buckets)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def exact_dup_groups(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(content_md5, n_dupes, keep_id) — exact dedup by content hash,
     deterministically keeping the smallest id."""
