@@ -158,16 +158,25 @@ def ivf_centroids(
     the slot where a k-means refinement pass plugs in at scale (Lloyd
     iterations are the same assign+groupBy-avg DataFrame ops as
     ivf_cells; one pass of stratified seeds is the cheap, reproducible
-    baseline)."""
+    baseline).
+
+    Index assignment uses zipWithIndex over the id-sorted rows (a
+    distributed range sort + per-partition offsets) — NOT a
+    no-partition Window, which would funnel every row through one
+    task. Same justified-RDD pattern as compression.build_doc_dim."""
     n = embeddings.count()
     stride = max(n // n_cells, 1)
-    from pyspark.sql import Window as W
-
-    ranked = embeddings.select(
-        F.col(vec_col).alias("v"),
-        F.row_number().over(W.orderBy(F.col(id_col))).alias("rn"),
-    ).filter(((F.col("rn") - 1) % stride == 0) & (F.col("rn") <= stride * n_cells))
-    return [list(r["v"]) for r in ranked.collect()]
+    indexed = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .rdd.zipWithIndex()
+    )
+    seeds = (
+        indexed.filter(lambda t: t[1] % stride == 0)
+        .map(lambda t: t[0]["v"])
+        .take(n_cells)
+    )
+    return [list(v) for v in seeds]
 
 
 def ivf_topk(
@@ -225,7 +234,13 @@ def srp_near_dup_pairs(
     1 - P[miss]^L where P[miss] = P[> h of n planes disagree]
     (~3e-3 per table at cos 0.9, n=4, h=2; measured 1.0 vs the exact
     all-pairs result on the planted-duplicate test fixture). Use the
-    cosine/jaccard exact paths as the small-scale oracle."""
+    cosine/jaccard exact paths as the small-scale oracle.
+
+    Sizing at scale: bucket count is 2^n_planes, so pick
+    n_planes ~ log2(n_vectors / target_bucket_size) — e.g. 10^9 vectors
+    at ~10k/bucket -> n_planes ~ 17 — and keep hamming/n_tables for the
+    recall target; the defaults here (4 planes) suit corpus sizes where
+    16 buckets already bound the per-bucket pair count."""
     v = F.col(vec_col).cast("array<double>")
     base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
     masks = _hamming_masks(n_planes, hamming)
