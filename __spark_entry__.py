@@ -605,11 +605,14 @@ def q_events_sessionize(spark, sf_dir):
 
 def q_events_sessionize_stream(spark, sf_dir):
     """STREAMING sessionization: replay the events table as a file-source
-    stream through the applyInPandasWithState operator (time-ordered
-    chunks -> monotone watermark, no late drops) and hash-match the
-    BATCH oracle. One sentinel event per user beyond max_ts + gap +
-    watermark closes every real session in-stream; sentinel sessions
-    stay open and are never emitted."""
+    stream through the applyInPandasWithState operator and hash-match
+    the BATCH oracle. One sentinel event per user beyond max_ts + gap +
+    watermark closes every real session via the kernel's in-batch gap
+    logic; sentinel sessions stay open and are never emitted. All files
+    process in one availableNow batch — the in-batch path is
+    order-independent, so the result can't depend on file mtime
+    tie-breaks (the multi-batch watermark path is exercised by
+    tests/test_sessions.py with controlled batch boundaries)."""
     import datetime as dt
     import tempfile
     import uuid
@@ -629,25 +632,11 @@ def q_events_sessionize_stream(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="sess_stream_")
     src = f"{tmp}/events"
-    # 4 time-range chunks written in order (file-source batches follow
-    # modification time, so the watermark only moves forward)
-    qs = ev.select(F.col("ts").cast("long").alias("s")).approxQuantile(
-        "s", [0.25, 0.5, 0.75], 0.001
-    )
-    bounds = [None, *qs, None]
-    for i in range(4):
-        chunk = ev
-        if bounds[i] is not None:
-            chunk = chunk.filter(F.col("ts").cast("long") > F.lit(bounds[i]))
-        if bounds[i + 1] is not None:
-            chunk = chunk.filter(F.col("ts").cast("long") <= F.lit(bounds[i + 1]))
-        if i == 3:
-            chunk = chunk.unionByName(sentinels)
-        chunk.coalesce(1).write.mode("append").parquet(src)
+    ev.unionByName(sentinels).repartition(4).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(
         "user_id bigint, ts timestamp, value double"
-    ).option("maxFilesPerTrigger", 1).parquet(src)
+    ).parquet(src)
     name = f"sess_{uuid.uuid4().hex[:10]}"
     q = (
         sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
