@@ -130,6 +130,20 @@ def test_connected_components(spark):
     assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 40, 41: 40}
 
 
+def test_connected_components_long_chain(spark):
+    """A 300-node chain has diameter 299: one-hop propagation would need
+    299 rounds and silently truncate at max_iters — pointer jumping must
+    converge in ~log2 rounds."""
+    from spaghettisearch_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs, max_iters=20).collect()
+    assert len(got) == 300
+    assert all(r["component"] == 0 for r in got)
+
+
 def test_connected_components_random_vs_union_find(spark):
     """Seeded random graphs vs a plain union-find mirror."""
     import random
