@@ -313,6 +313,15 @@ def q_phrase_topk(spark, sf_dir):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Engine corpus_stats table — pins the whole-collection avgdl
+    semantics (zero-token docs count) in the driver gate."""
+    idx = _engine_index(spark, sf_dir)
+    return idx.corpus_stats.select(
+        "field", "n_docs", _e("avgdl", 10**6).alias("avgdl_e6")
+    )
+
+
 def q_vocab_prefix(spark, sf_dir):
     return (
         _body_tokens(spark, sf_dir)
@@ -1005,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_topk_shards": q_phrase_topk_shards,
         "vocab_prefix": q_vocab_prefix,
+        "corpus_stats": q_corpus_stats,
         "top_words_per_doc": q_top_words_per_doc,
         "doc_sha256": q_doc_sha256,
         "graph_out_degree": q_graph_out_degree,
@@ -1105,6 +1115,23 @@ SELECT did, CAST(ROUND(score * 100000) AS BIGINT) AS score_e5
 FROM scored ORDER BY score DESC, did ASC LIMIT 20
 """
     sqls["phrase_topk_shards"] = sqls["phrase_topk"]
+    sqls["corpus_stats"] = f"""
+WITH {_TL},
+ttl AS (
+  SELECT len(list_filter(
+           string_split(trim(regexp_replace(lower(CAST(doc_id AS VARCHAR)),
+                                            '[^a-z0-9]+', ' ', 'g')), ' '),
+           t -> t <> '' AND t NOT IN ({_SW_SQL}))) AS tlen
+  FROM documents
+)
+SELECT 'body' AS field, COUNT(*)::BIGINT AS n_docs,
+       CAST(ROUND(SUM(len(toks))::DOUBLE / COUNT(*) * 1e6) AS BIGINT) AS avgdl_e6
+FROM tl
+UNION ALL
+SELECT 'title', COUNT(*)::BIGINT,
+       CAST(ROUND(SUM(tlen)::DOUBLE / COUNT(*) * 1e6) AS BIGINT)
+FROM ttl
+"""
     sqls["vocab_prefix"] = f"""
 WITH {_TOKS}
 SELECT DISTINCT term FROM toks WHERE term LIKE 's%' ORDER BY term
