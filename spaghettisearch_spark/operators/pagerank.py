@@ -100,12 +100,15 @@ def compute_pagerank(
     epsilon = cfg.pr_epsilon if epsilon is None else epsilon
     max_iters = cfg.pr_max_iters if max_iters is None else max_iters
 
-    nodes = pagerank_nodes(corpus, links).cache()
+    # pre-partition the per-iteration join inputs ONCE by their join key:
+    # every iteration's ranks-x-edges join and nodes-join then reuses the
+    # cached partitioning instead of re-shuffling the static sides
+    nodes = pagerank_nodes(corpus, links).repartition("doc_id").cache()
     n = nodes.count()
     if n == 0:
         return spark.createDataFrame([], "doc_id string, rank double")
 
-    edges = _dedup_edges(links).cache()
+    edges = _dedup_edges(links).repartition("src_doc").cache()
     edges.count()
 
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()

@@ -83,10 +83,10 @@ def compute_topic_pagerank(
     epsilon = cfg.pr_epsilon if epsilon is None else epsilon
     max_iters = cfg.pr_max_iters if max_iters is None else max_iters
 
-    nodes = pagerank_nodes(corpus, links).cache()
+    nodes = pagerank_nodes(corpus, links).repartition("doc_id").cache()
     if nodes.isEmpty():
         return spark.createDataFrame([], "doc_id string, category string, rank double")
-    edges = _dedup_edges(links).cache()
+    edges = _dedup_edges(links).repartition("src_doc").cache()
     edges.count()
 
     num_pages = topics.groupBy("category").agg(
