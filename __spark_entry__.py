@@ -584,6 +584,29 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (1 h window, 30 min slide) — each event
+    lands in exactly two windows; the DuckDB mirror expands via UNION of
+    the two epoch-aligned starts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("sum_value_e2"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value_e2",
+        )
+    )
+
+
 def q_events_json_extract(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
@@ -1030,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "region_supplier_counts": q_region_supplier_counts,
         "events_hourly": q_events_hourly,
+        "events_sliding_window": q_events_sliding_window,
         "events_json_extract": q_events_json_extract,
         "events_value_quantiles": q_events_value_quantiles,
         "events_lookback_join": q_events_lookback_join,
@@ -1307,6 +1331,22 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
        COUNT(*)::BIGINT AS n,
        CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY 1, 2
+"""
+    sqls["events_sliding_window"] = """
+WITH starts AS (
+  SELECT event_type, value,
+         make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS s1
+  FROM events
+),
+expanded AS (
+  SELECT event_type, value, s1 AS win_start FROM starts
+  UNION ALL
+  SELECT event_type, value, s1 - INTERVAL 30 MINUTE FROM starts
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       COUNT(*)::BIGINT AS n,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_e2
+FROM expanded GROUP BY 1, 2
 """
     sqls["events_json_extract"] = r"""
 SELECT event_type,
