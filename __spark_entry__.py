@@ -607,6 +607,17 @@ def q_events_sliding_window(spark, sf_dir):
     )
 
 
+def q_events_distinct_users(spark, sf_dir):
+    """COUNT(DISTINCT ...) per group — exact distinct aggregation (the
+    approx_count_distinct sketch variant is pytest-gated against a 5%
+    bound, since HLL implementations differ across engines)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 def q_events_json_extract(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
@@ -1054,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_supplier_counts": q_region_supplier_counts,
         "events_hourly": q_events_hourly,
         "events_sliding_window": q_events_sliding_window,
+        "events_distinct_users": q_events_distinct_users,
         "events_json_extract": q_events_json_extract,
         "events_value_quantiles": q_events_value_quantiles,
         "events_lookback_join": q_events_lookback_join,
@@ -1331,6 +1343,11 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
        COUNT(*)::BIGINT AS n,
        CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY 1, 2
+"""
+    sqls["events_distinct_users"] = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY event_type
 """
     sqls["events_sliding_window"] = """
 WITH starts AS (

@@ -174,6 +174,28 @@ def windowed_query_stats(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """At-least-once -> effectively-once: drop duplicate records by key
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the standard guard in front of a streaming sink when the upstream
+    can redeliver. State is bounded by the watermark (keys older than it
+    are evicted), unlike plain dropDuplicates whose state grows forever
+    on a stream. On a batch frame, falls back to plain dropDuplicates —
+    same result for data whose duplicates arrive within the horizon,
+    which is how the test cross-checks it."""
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)
+
+
 def compact(spark: SparkSession, warehouse: str, cfg: EngineConfig = DEFAULT):
     """Rebuild the derived index tables after streaming appends.
 

@@ -164,6 +164,43 @@ def test_interval_self_join_stream_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on a redelivered stream == batch
+    dropDuplicates (duplicates land within the horizon)."""
+    from spaghettisearch_spark.streaming.ingest import dedup_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    # simulate at-least-once redelivery: every row duplicated
+    redelivered = ev.unionByName(ev)
+    want = sorted(
+        (r["user_id"], r["ts"], r["event_type"])
+        for r in dedup_stream(redelivered, ["user_id", "ts", "event_type"]).collect()
+    )
+    assert len(want) == ev.dropDuplicates(["user_id", "ts", "event_type"]).count()
+
+    src = str(tmp_path / "ev")
+    redelivered.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(redelivered.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, ["user_id", "ts", "event_type"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["ts"], r["event_type"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == want
+
+
 def test_multimodal_features(spark, corpus_tiny):
     from spaghettisearch_spark.operators.multimodal import (
         attach_fake_media,
