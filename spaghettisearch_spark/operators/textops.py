@@ -33,6 +33,39 @@ from pyspark.sql import functions as F
 from ..functions.hashing import term_hash60_col
 
 
+DEFAULT_REDACTIONS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement). Patterns stick to syntax shared by
+    # Java regex (Spark) and RE2 so behavior is portable.
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    "hex_secret": (r"\b[0-9a-fA-F]{32,}\b", "<SECRET>"),
+}
+
+
+def redact_pii(
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+    redactions: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(id, redacted, n_<name>... counts) — scrub PII-ish patterns before
+    text reaches a training set. All native regexp_replace /
+    regexp_count (JVM codegen, no Python); counts per pattern let the
+    pipeline monitor scrub rates and alert on drift."""
+    redactions = DEFAULT_REDACTIONS if redactions is None else redactions
+    cols = [F.col(id_col).alias("id")]
+    out = F.col(text_col)
+    for name, (pat, repl) in redactions.items():
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, repl)
+    cols.insert(1, out.alias("redacted"))
+    return documents.select(*cols)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -130,6 +130,26 @@ def test_connected_components(spark):
     assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 40: 40, 41: 40}
 
 
+def test_redact_pii(spark):
+    from spaghettisearch_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+            (2, "token deadbeefdeadbeefdeadbeefdeadbeef end"),
+            (3, "clean text with no secrets at all"),
+        ],
+        "id int, text string",
+    )
+    rows = {r["id"]: r for r in redact_pii(docs, "id", "text").collect()}
+    assert rows[1]["redacted"] == "contact <EMAIL> or <IP> now"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
+    assert rows[2]["redacted"] == "token <SECRET> end"
+    assert rows[2]["n_hex_secret"] == 1
+    assert rows[3]["redacted"] == "clean text with no secrets at all"
+    assert rows[3]["n_email"] == rows[3]["n_ipv4"] == rows[3]["n_hex_secret"] == 0
+
+
 def test_connected_components_long_chain(spark):
     """A 300-node chain has diameter 299: one-hop propagation would need
     299 rounds and silently truncate at max_iters — pointer jumping must
