@@ -120,6 +120,13 @@ SHARD_SCHEMA = T.StructType(
         T.StructField("salt", T.IntegerType()),
         T.StructField("df", T.LongType()),
         T.StructField("max_weight", T.DoubleType()),
+        # block-max metadata: the block's top-N (doc_key, weight) sample,
+        # readable without touching the varbyte payloads (parquet column
+        # pruning). WAND's skip planner sums these partials per doc to get
+        # an exact LOWER bound on the k-th best score, then decodes only
+        # blocks whose max_weight-based upper bound can still beat it.
+        T.StructField("top_doc_keys", T.ArrayType(T.LongType())),
+        T.StructField("top_weights", T.ArrayType(T.DoubleType())),
         T.StructField("doc_ids", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("weights", T.BinaryType()),
@@ -127,6 +134,11 @@ SHARD_SCHEMA = T.StructType(
         T.StructField("pos_lens", T.BinaryType()),
     ]
 )
+
+# per-block sample size for the skip planner's threshold estimate: big
+# enough that |blocks_of_rarest_term| * N usually covers k, small enough
+# that block metadata stays a few hundred bytes
+BLOCK_SAMPLE_N = 8
 
 
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -154,6 +166,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         )
     else:
         flat = np.zeros(0, dtype=np.int64)
+    top = np.argsort(-weights, kind="stable")[:BLOCK_SAMPLE_N]
     return pd.DataFrame(
         [
             {
@@ -163,6 +176,8 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "salt": salt,
                 "df": int(len(pdf)),
                 "max_weight": float(weights.max()) if len(weights) else 0.0,
+                "top_doc_keys": [int(keys[i]) for i in top],
+                "top_weights": [float(weights[i]) for i in top],
                 "doc_ids": vb_encode(delta_encode(keys)),
                 "tfs": vb_encode(tfs),
                 "weights": weights.astype(">f8").tobytes(),

@@ -13,11 +13,18 @@ until a fixpoint. The third term is POINTER JUMPING (path halving): a
 node adopts its current representative's own label, so the distance to
 the component minimum halves every round — O(log diameter) rounds
 instead of O(diameter) (a 300-node chain converges in ~9 rounds, not
-299). Each round is two joins + one groupBy shuffle. The same
-round-compression idea underlies the large-star/small-star alternation
-(Kiveris et al., "Connected Components in MapReduce and Beyond"), which
-additionally rebalances degree skew — worth swapping in if a single
-component's star ever concentrates on one reducer.
+299). Each round is two joins + one groupBy shuffle.
+
+``connected_components_star`` is the skew-resistant alternative:
+alternating large-star/small-star edge rewiring (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Min-label
+propagation keeps every edge live until global convergence, so the
+giant component's full edge set hits one reducer's groupBy(node) every
+round; star operations REWRITE the edge set toward (min, v) star edges
+— a hub's spokes collapse to parent pointers after one large-star, and
+the per-round shuffle shrinks with the frontier. Same output contract,
+cross-asserted in tests; pick it when component sizes are unbounded
+(web-scale dedup graphs).
 
 Oracle: DuckDB WITH RECURSIVE reachability + MIN(root) — bit-identical
 cluster ids (min doc id per component), see __spark_entry__.dup_clusters.
@@ -27,6 +34,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# rounds the last connected_components_star call took (test telemetry)
+LAST_STAR_ROUNDS: int = 0
 
 
 def connected_components(

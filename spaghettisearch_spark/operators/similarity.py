@@ -179,6 +179,49 @@ def ivf_centroids(
     return [list(v) for v in seeds]
 
 
+def lloyd_refine(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """k-means (Lloyd) refinement of IVF centroids: ``iters`` rounds of
+    assign (ivf_cells — JVM argmax, no Python crossing) then per-cell
+    mean. The mean is one posexplode + groupBy(cell, dim) avg — shuffle
+    rows = n_vectors * dim with full map-side combine, collapsing to
+    n_cells * dim rows; the collect is n_cells tiny arrays (the
+    centroid codebook lives on the driver by design — it's broadcast
+    into every assign anyway). Cells that lose all members keep their
+    previous centroid (standard empty-cell rule, keeps n_cells stable).
+    """
+    dim = len(centroids[0])
+    for _ in range(iters):
+        cells = ivf_cells(embeddings, centroids, id_col, vec_col)
+        assigned = embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        ).join(cells, id_col)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            if len(r["centroid"]) == dim:
+                new[int(r["cell"])] = [float(x) for x in r["centroid"]]
+        centroids = new
+    return centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -186,6 +229,7 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     centroids: list[list[float]] | None = None,
+    lloyd_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -193,11 +237,19 @@ def ivf_topk(
     ``n_cells`` centroid cells, probe the ``n_probe`` cells nearest the
     query, exact cosine inside the probed cells. The inverted-list scan
     reduction is n_probe/n_cells; recall depends on how well cells
-    capture neighborhoods (see test_textops clustered-fixture gate)."""
+    capture neighborhoods (see test_textops clustered-fixture gate).
+    ``lloyd_iters`` > 0 refines the stride seeds with that many k-means
+    passes (lloyd_refine) before assignment — at scale the codebook is
+    built once per index, not per query, so pass ``centroids`` from a
+    prior build for repeated queries."""
     import numpy as np
 
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+        if lloyd_iters:
+            centroids = lloyd_refine(
+                embeddings, centroids, lloyd_iters, id_col, vec_col
+            )
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(qv))
     sims = []

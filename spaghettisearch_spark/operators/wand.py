@@ -359,6 +359,66 @@ def _wand_from_hits(
     )
 
 
+# telemetry from the latest wand_topk_from_shards call: how many blocks
+# the skip planner kept vs saw (tests assert kept < total on skewed data)
+LAST_SKIP_STATS: dict[str, int] = {"total": 0, "kept": 0}
+
+
+def select_blocks(
+    meta_rows: list,
+    cfg: EngineConfig,
+    qtf: dict[str, float],
+    k: int,
+    extra_ub: float = 0.0,
+) -> set[tuple[str, str, int]]:
+    """Block-max skip planner (driver-side, pure): given undecoded block
+    metadata rows (term, field, salt, max_weight, top_doc_keys,
+    top_weights), return the (term, field, salt) blocks that must be
+    decoded for an EXACT top-k.
+
+    Threshold: each block's top-N (doc_key, weight) sample yields partial
+    blended scores per doc (a lower bound of the doc's full score, since
+    contributions are non-negative); T = k-th largest partial. A block is
+    skippable iff its best-case doc score — its own max_weight plus every
+    OTHER (term, field) group's max block weight plus ``extra_ub`` (e.g.
+    the PageRank blend maximum) — is strictly below T: every doc in it
+    then provably scores below the k-th result, so the doc is not in the
+    top-k and dropping its remaining contributions cannot corrupt the
+    top-k (top-k docs appear only in kept blocks, so their scores stay
+    exact). Strict inequality keeps tie-on-T blocks."""
+    fw = {FIELD_TITLE: cfg.w_title, FIELD_BODY: cfg.w_body}
+
+    def factor(field: str, term: str) -> float:
+        return fw.get(field, 0.0) * qtf.get(term, 0.0) * cfg.blend_scale
+
+    # per-(term, field) max blended upper bound across its blocks
+    group_ub: dict[tuple[str, str], float] = {}
+    partials: dict[int, float] = {}
+    for r in meta_rows:
+        f = factor(r["field"], r["term"])
+        key = (r["term"], r["field"])
+        ub = float(r["max_weight"]) * f
+        if ub > group_ub.get(key, 0.0):
+            group_ub[key] = ub
+        for dk, w in zip(r["top_doc_keys"] or [], r["top_weights"] or []):
+            partials[dk] = partials.get(dk, 0.0) + float(w) * f
+    if len(partials) < k:
+        return {(r["term"], r["field"], int(r["salt"])) for r in meta_rows}
+    threshold = sorted(partials.values(), reverse=True)[k - 1]
+    sum_ub = sum(group_ub.values()) + extra_ub
+    keep: set[tuple[str, str, int]] = set()
+    for r in meta_rows:
+        key = (r["term"], r["field"])
+        bound = (
+            sum_ub
+            - group_ub.get(key, 0.0)
+            + float(r["max_weight"]) * factor(r["field"], r["term"])
+        )
+        if bound >= threshold:
+            keep.add((r["term"], r["field"], int(r["salt"])))
+    return keep
+
+
 def wand_topk_from_shards(
     spark: SparkSession,
     shards: DataFrame,
@@ -404,6 +464,35 @@ def wand_topk_from_shards(
     pruned = shards.filter(F.col("term").isin(term_list))
     if "shard" in shards.columns:
         pruned = pruned.filter(F.col("shard").isin(shard_ids))
+
+    if "top_weights" in pruned.columns:
+        # block-max skipping BEFORE decode: read ONLY the block metadata
+        # columns (parquet column pruning — the varbyte payloads stay on
+        # disk), derive an exact threshold from the per-block top-N
+        # samples, and decode only blocks whose upper bound can beat it.
+        meta = (
+            pruned.select(
+                "term", "field", "salt", "max_weight",
+                "top_doc_keys", "top_weights",
+            )
+            .collect()
+        )
+        extra_ub = 0.0
+        if pagerank is not None:
+            pr_max = pagerank.agg(F.max("rank")).first()[0]
+            extra_ub = cfg.w_pagerank * cfg.blend_scale * float(pr_max or 0.0)
+        keep = select_blocks(
+            meta, cfg, {t: float(counts[t]) for t in term_list}, k, extra_ub
+        )
+        LAST_SKIP_STATS["total"] = len(meta)
+        LAST_SKIP_STATS["kept"] = len(keep)
+        if len(keep) < len(meta):
+            keep_keys = [f"{t}\x01{f}\x01{s}" for t, f, s in sorted(keep)]
+            pruned = pruned.filter(
+                F.concat_ws(
+                    "\x01", "term", "field", F.col("salt").cast("string")
+                ).isin(keep_keys)
+            )
 
     decoded = decode_shards(pruned)  # term, field, doc_key, tf, weight, positions
     qdf = spark.createDataFrame(

@@ -88,6 +88,63 @@ def test_wand_from_shards_matches_exhaustive(spark, corpus_small, index_small):
     shards.unpersist(); doc_map.unpersist()
 
 
+def test_block_skip_before_decode(spark):
+    """Skip planner: on a skewed fixture (a hot term whose salted blocks
+    have very different max weights), the shard path decodes FEWER blocks
+    than exist while returning the exact top-k. Construction: 8 'strong'
+    docs carry raresig(10.0) + hotterm(5.0); the rest of the hot-salt-0
+    docs carry hotterm(4.0); every other salt group carries ~0 weight —
+    so the threshold (435 = the strong docs' full blended score, fully
+    visible in the two blocks' top-8 samples) provably beats every other
+    hot block's upper bound (290.029)."""
+    from spaghettisearch_spark.functions.hashing import term_hash60_py
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.compression import build_posting_shards
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    cfg = DEFAULT
+    doc_ids = [f"d{i:04d}" for i in range(400)]
+    salt0 = [d for d in doc_ids if term_hash60_py(d) % cfg.n_salts == 0]
+    strong = sorted(salt0)[:8]
+    rows = []
+    for d in doc_ids:
+        if d in strong:
+            w = 5.0
+        elif d in salt0:
+            w = 4.0
+        else:
+            w = 0.001
+        rows.append(("hotterm", "body", d, 1, [0], w))
+    for d in strong:
+        rows.append(("raresig", "body", d, 1, [1], 10.0))
+    postings = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, weight double",
+    )
+    shards = build_posting_shards(postings, len(doc_ids), cfg).cache()
+    doc_map = spark.createDataFrame(
+        [(term_hash60_py(d), d) for d in doc_ids], "doc_key long, doc_id string"
+    )
+    got = wand_topk_from_shards(
+        spark, shards, doc_map, ["raresig", "hotterm"], cfg, k=8, n_buckets=4
+    ).collect()
+    stats = dict(wand_mod.LAST_SKIP_STATS)
+    assert stats["kept"] < stats["total"], stats
+    assert stats["kept"] <= 2, stats  # rare block + hot salt-0 block only
+    # exact python oracle
+    from collections import defaultdict
+
+    score: dict[str, float] = defaultdict(float)
+    for _term, _field, d, _tf, _pos, w in rows:
+        score[d] += cfg.w_body * cfg.blend_scale * w
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_d, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    shards.unpersist()
+
+
 def test_wand_from_warehouse_shards_dense_ids(spark, docs_small, tmp_path):
     """Pipeline shards use dense doc_idx keys; shard-backed WAND from the
     warehouse == exhaustive scoring on the same index."""
