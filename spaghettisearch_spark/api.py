@@ -37,6 +37,8 @@ class SearchEngine:
     pagerank: DataFrame | None = None
     corpus: DataFrame | None = None  # for snippets (content column)
     links: DataFrame | None = None
+    # (doc_id, category, rank) from operators.topics.compute_topic_pagerank
+    topic_pagerank: DataFrame | None = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -46,9 +48,14 @@ class SearchEngine:
         documents: DataFrame,
         cfg: EngineConfig = DEFAULT,
         with_pagerank: bool = True,
+        topics: DataFrame | None = None,
     ) -> "SearchEngine":
         """One-call build from a raw (repo, path, commit, lang, content)
-        frame — the reference's ./bin/crawl analog for a static corpus."""
+        frame — the reference's ./bin/crawl analog for a static corpus.
+        ``topics`` (doc_id, category) additionally builds the
+        topic-sensitive PageRank artifact, enabling query(..., topic=...)
+        — the working version of the reference's dead topic-probability
+        blend (its computeTopicProbs is a no-op, SURVEY.md §3.1)."""
         corpus = ingest(documents).cache()
         links = extract_links(corpus, cfg).cache()
         idx = build_index(corpus, cfg, links=links)
@@ -57,19 +64,40 @@ class SearchEngine:
             if with_pagerank
             else None
         )
+        tpr = None
+        if topics is not None:
+            from .operators.topics import compute_topic_pagerank
+
+            tpr = compute_topic_pagerank(spark, corpus, links, topics, cfg).cache()
         return cls(
-            spark=spark, index=idx, cfg=cfg, pagerank=pr, corpus=corpus, links=links
+            spark=spark, index=idx, cfg=cfg, pagerank=pr, corpus=corpus,
+            links=links, topic_pagerank=tpr,
         )
 
     # ------------------------------------------------------------------
-    def query_df(self, q: str, k: int | None = None, use_wand: bool = False) -> DataFrame:
+    def query_df(
+        self,
+        q: str,
+        k: int | None = None,
+        use_wand: bool = False,
+        topic: str | None = None,
+    ) -> DataFrame:
         """Top-k as a DataFrame (scores + metadata), snippets included
-        when the corpus is attached."""
+        when the corpus is attached. ``topic`` blends that category's
+        PageRank vector instead of the global one (requires a build with
+        topics=...)."""
         k = k or self.cfg.top_k
         terms, phrases = parse_query(q, self.cfg.remove_stopwords, self.cfg.stem)
+        pr = self.pagerank
+        if topic is not None:
+            if self.topic_pagerank is None:
+                raise ValueError("topic= requires a build(..., topics=...)")
+            pr = self.topic_pagerank.filter(F.col("category") == topic).select(
+                "doc_id", "rank"
+            )
         if use_wand and not phrases and self.cfg.scorer == "bm25":
             topk = wand_topk(
-                self.spark, self.index, terms, self.cfg, k=k, pagerank=self.pagerank
+                self.spark, self.index, terms, self.cfg, k=k, pagerank=pr
             )
             # inner broadcast-left join (see bm25.search hydrate note):
             # a left join here planned SortMergeJoin over all of doc_meta
@@ -78,7 +106,7 @@ class SearchEngine:
         else:
             topk = search(
                 self.spark, self.index, q, self.cfg,
-                pagerank=self.pagerank, k=k, hydrate=True,
+                pagerank=pr, k=k, hydrate=True,
             )
         if self.corpus is not None:
             # broadcast build = the k-row side, stream = the corpus scan;
@@ -91,11 +119,17 @@ class SearchEngine:
             topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return topk
 
-    def query(self, q: str, k: int | None = None, use_wand: bool = False) -> list[dict]:
+    def query(
+        self,
+        q: str,
+        k: int | None = None,
+        use_wand: bool = False,
+        topic: str | None = None,
+    ) -> list[dict]:
         """Reference-JSON-shaped result cards (server.go:47-48 encodes
         []Rank_combined, incl. top-5 parents with their anchor terms and
         top-5 children — retrieval/util.go:56-92, get_metadata.go:237-266)."""
-        rows = self.query_df(q, k, use_wand).collect()
+        rows = self.query_df(q, k, use_wand, topic=topic).collect()
         family: dict = {}
         if self.links is not None and rows:
             from .operators.incremental import family_top5

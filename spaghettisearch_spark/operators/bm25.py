@@ -202,15 +202,31 @@ def search(
     pagerank: DataFrame | None = None,
     k: int | None = None,
     hydrate: bool = False,
+    topic_pagerank: DataFrame | None = None,
+    topic: str | None = None,
 ) -> DataFrame:
     """Full query pipeline -> top-k (rank, doc_id, score, ...).
 
     ``pagerank=None`` reproduces the reference's live behavior (its
-    topic-probability path is dead code, so PR contributes 0 —
-    SURVEY.md §3.1); passing a pagerank frame enables the blended
-    ranking the north rule asks for.
-    """
+    topic-probability path is dead code — computeTopicProbs returns
+    a no-op, so PR contributes 0; SURVEY.md §3.1); passing a pagerank
+    frame enables the blended ranking the north rule asks for.
+
+    ``topic`` + ``topic_pagerank`` (doc_id, category, rank — the
+    operators.topics.compute_topic_pagerank artifact) blend the
+    CATEGORY'S PageRank vector instead of the global one — the working
+    version of the reference's dead topic path: selecting one category
+    from the keyed frame is a filter on the rank side, so the query
+    plan is identical to the global blend. A category covering the
+    whole corpus reproduces the global blend exactly (init 1/N ==
+    1/numPages; asserted in tests)."""
     k = k or cfg.top_k
+    if topic is not None:
+        if topic_pagerank is None:
+            raise ValueError("topic= requires topic_pagerank=")
+        pagerank = topic_pagerank.filter(F.col("category") == topic).select(
+            "doc_id", "rank"
+        )
     free_terms, phrase_lists = parse_query(
         query, cfg.remove_stopwords, cfg.stem
     )

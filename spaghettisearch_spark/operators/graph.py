@@ -107,3 +107,102 @@ def connected_components(
             "(pointer jumping needs ~log2(diameter) rounds — raise max_iters)"
         )
     return labels
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, no self-loops."""
+    return (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame, small: bool) -> DataFrame:
+    """One large-star / small-star rewiring (Kiveris et al., SoCC'14).
+
+    large-star: gather each node u's full neighborhood (both edge
+    directions), m = min(N(u) ∪ {u}); rewire every LARGER neighbor
+    v > u to (v, m). small-star: orient edges large→small so each node
+    gathers only its smaller neighbors, m = min(N(u) ∪ {u}); rewire
+    every v ∈ N(u) (and u itself) to m. Both preserve connectivity;
+    alternation converges to per-component stars rooted at the minimum.
+    """
+    if small:
+        adj = edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    else:
+        adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    m = adj.groupBy("u").agg(F.min("v").alias("nmin"))
+    m = m.select("u", F.least("u", "nmin").alias("m"))
+    joined = adj.join(m, "u")
+    if small:
+        out = joined.select(F.col("v").alias("a"), F.col("m").alias("b")).unionAll(
+            m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+    else:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    return _canon(out)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Same contract as connected_components — (id, component) with
+    component = the minimum id in the component — via alternating
+    large-star/small-star edge REWIRING instead of label propagation.
+
+    Why this is the web-scale shape: label propagation carries the
+    original edge set through every round, so a giant component keeps
+    hammering one reducer; star rounds rewrite edges toward (min, v)
+    parent pointers, collapsing a B-spoke hub to B parent edges in one
+    large-star and shrinking the live edge set monotonically toward one
+    star per component (O(log n) rounds, Kiveris Thm 4.1). Convergence
+    is detected by the canonical edge set's (count, xxhash-xor)
+    signature going stable — one tiny action per round."""
+    global LAST_STAR_ROUNDS
+    edges = _canon(
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sig = None
+    converged = False
+    for it in range(max_iters):
+        edges = _star_round(edges, small=False)
+        edges = _star_round(edges, small=True).localCheckpoint()
+        row = edges.select(F.xxhash64("a", "b").alias("h")).agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(h)").alias("h"),  # order-insensitive, no overflow
+        ).first()
+        new_sig = (row["n"], row["h"])
+        if new_sig == sig:
+            LAST_STAR_ROUNDS = it + 1
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} rounds"
+        )
+    # at the fixpoint every edge is (component_min, v): label v by its
+    # minimum neighbor; component minima label themselves
+    labels = (
+        edges.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+        .groupBy("id")
+        .agg(F.min("nbr").alias("component"))
+    )
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

@@ -202,6 +202,57 @@ def test_connected_components_random_vs_union_find(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_connected_components_star_hub(spark):
+    """Skewed star graph — one hub, 5000 spokes, the giant-component
+    shape where label propagation re-shuffles the full edge list through
+    one reducer every round. The large/small-star method rewires the hub
+    to parent pointers and converges in a handful of rounds with the
+    same (id, component=min) contract."""
+    from spaghettisearch_spark.operators import graph as graph_mod
+    from spaghettisearch_spark.operators.graph import connected_components_star
+
+    hub = 999_999  # hub is the LARGEST id, so every spoke must re-root
+    pairs = spark.createDataFrame(
+        [(hub, s) for s in range(5000)], "id_a long, id_b long"
+    )
+    got = connected_components_star(pairs).collect()
+    assert len(got) == 5001
+    assert all(r["component"] == 0 for r in got)
+    assert graph_mod.LAST_STAR_ROUNDS <= 4, graph_mod.LAST_STAR_ROUNDS
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Star rewiring == min-label propagation on chains and seeded
+    random graphs (same canonical min-id components)."""
+    import random
+
+    from spaghettisearch_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(149)], "id_a long, id_b long"
+    )
+    got = connected_components_star(chain, max_iters=20).collect()
+    assert len(got) == 150 and all(r["component"] == 0 for r in got)
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
 def test_language_id(spark):
     from spaghettisearch_spark.operators.textops import language_id_scores
 
