@@ -33,6 +33,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # every recorded number is a min over >=2 reps so round-over-round
+    # artifact comparisons don't inherit host noise (the r2 verdict
+    # flagged single-rep index_build/minhash drift as spurious)
+    op_reps = int(os.environ.get("BENCH_OP_REPS", "2"))
+
+    def best_of(fn, n=None) -> float:
+        times = []
+        for _ in range(n or op_reps):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 4)
 
     from spaghettisearch_spark.config import EngineConfig
     from spaghettisearch_spark.operators.bm25 import search
@@ -76,7 +88,6 @@ def main() -> None:
     # ---- PageRank over synthetic deterministic graph ----
     from spaghettisearch_spark.operators.pagerank import compute_pagerank
 
-    t0 = time.time()
     ids = docs.select(F.col("doc_id").cast("string").alias("path"))
     links_df = (
         docs.select(
@@ -93,9 +104,16 @@ def main() -> None:
         .withColumn("dst_exists", F.lit(True))
         .withColumn("anchor_terms", F.array().cast("array<string>"))
     )
-    pr = compute_pagerank(spark, corpus, links_df, cfg, max_iters=10)
-    pr.cache().count()
-    timings["pagerank_10iter"] = round(time.time() - t0, 4)
+    pr = None
+
+    def run_pagerank():
+        nonlocal pr
+        if pr is not None:
+            pr.unpersist()
+        pr = compute_pagerank(spark, corpus, links_df, cfg, max_iters=10)
+        pr.cache().count()
+
+    timings["pagerank_10iter"] = best_of(run_pagerank)
 
     # ---- queries ----
     qset = {
@@ -120,12 +138,18 @@ def main() -> None:
     from spaghettisearch_spark.operators.compression import build_posting_shards
     from spaghettisearch_spark.operators.wand import build_doc_map, wand_topk_from_shards
 
-    t0 = time.time()
-    shards = build_posting_shards(
-        idx.postings.withColumn("weight", F.col("bm25_weight")), n_files, cfg
-    ).cache()
-    shards.count()
-    timings["shard_build"] = round(time.time() - t0, 4)
+    shards = None
+
+    def run_shard_build():
+        nonlocal shards
+        if shards is not None:
+            shards.unpersist()
+        shards = build_posting_shards(
+            idx.postings.withColumn("weight", F.col("bm25_weight")), n_files, cfg
+        ).cache()
+        shards.count()
+
+    timings["shard_build"] = best_of(run_shard_build)
     doc_map = build_doc_map(corpus).cache()
     doc_map.count()
     qset["q_wand_shards"] = lambda: wand_topk_from_shards(
@@ -153,17 +177,18 @@ def main() -> None:
         F.col("doc_id").alias("id"),
         F.posexplode(tokenize_col("text")).alias("pos", "term"),
     )
-    t0 = time.time()
-    sigs = minhash_signatures(toks.select("id", "term").distinct(), "id", 8)
     # scale path: cap degenerate buckets (the synthetic 24-word vocab makes
     # most docs near-identical; uncapped pairs are the oracle entry's job)
-    lsh_candidate_pairs(sigs, band_rows=2, max_bucket=200).count()
-    timings["minhash_lsh"] = round(time.time() - t0, 4)
+    timings["minhash_lsh"] = best_of(
+        lambda: lsh_candidate_pairs(
+            minhash_signatures(toks.select("id", "term").distinct(), "id", 8),
+            band_rows=2,
+            max_bucket=200,
+        ).count()
+    )
 
-    t0 = time.time()
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    simhash60(tf, "id").count()
-    timings["simhash"] = round(time.time() - t0, 4)
+    timings["simhash"] = best_of(lambda: simhash60(tf, "id").count())
 
     from spaghettisearch_spark.operators.similarity import (
         cosine_topk,
@@ -172,19 +197,22 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    t0 = time.time()
-    cosine_topk(emb, list(qv), k=10).collect()
-    timings["ann_cosine_topk"] = round(time.time() - t0, 4)
+    timings["ann_cosine_topk"] = best_of(
+        lambda: cosine_topk(emb, list(qv), k=10).collect()
+    )
 
-    t0 = time.time()
-    srp_near_dup_pairs(
-        emb, dim=len(qv), threshold=0.55, n_planes=4, hamming=2
-    ).count()
-    timings["near_dup_srp"] = round(time.time() - t0, 4)
+    timings["near_dup_srp"] = best_of(
+        lambda: srp_near_dup_pairs(
+            emb, dim=len(qv), threshold=0.55, n_planes=4, hamming=2
+        ).count()
+    )
 
     total = time.time() - t_total0
     out = {
         "metric": "index_build+query_suite_wall",
+        # wall includes EVERY rep of every op (>=2 each since r3); the
+        # rep-invariant round-over-round number is sum_min_ops_sec
+        "sum_min_ops_sec": round(sum(timings.values()), 3),
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
@@ -193,6 +221,7 @@ def main() -> None:
         "files_per_sec": round(n_files / build_sec, 2),
         "query_p50_ms": round(statistics.median(lat_ms), 1),
         "cpus": cpus,
+        "reps": {"query": reps, "build": build_reps, "op": op_reps},
     }
     print(json.dumps(out))
 

@@ -344,6 +344,48 @@ def quality_stats(documents: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def repetition_stats(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition signals (the Gopher/MassiveText-style filters a
+    pretraining pipeline cuts boilerplate with): top_token_frac (mode
+    token count / tokens), dup_bigram_frac and dup_trigram_frac
+    (1 - distinct n-grams / n-grams). All JVM higher-order array
+    functions over one projection of the scan — no shuffle, no Python.
+    top_token_frac is O(tokens x distinct_tokens) per doc, fine for
+    code/prose vocabularies; for pathological megadocs use an
+    explode + groupBy(id) tf instead (the tf_postings shape)."""
+    from ..functions.tokenize import tokenize_col
+
+    raw = tokenize_col(text_col, remove_stopwords=False)
+
+    def ngrams(arr, n):
+        ln = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+        parts = [F.slice(arr, i + 1, ln) for i in range(n)]
+        z = parts[0]
+        for p in parts[1:]:
+            z = F.zip_with(z, p, lambda a, b: F.concat(a, F.lit(" "), b))
+        return z
+
+    def dup_frac(grams):
+        return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+        )
+
+    max_tf = F.array_max(
+        F.transform(
+            F.array_distinct(raw),
+            lambda t: F.size(F.filter(raw, lambda x: x == t)),
+        )
+    )
+    return documents.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(raw) <= 0, F.lit(0.0))
+        .otherwise(max_tf / F.size(raw))
+        .alias("top_token_frac"),
+        dup_frac(ngrams(raw, 2)).alias("dup_bigram_frac"),
+        dup_frac(ngrams(raw, 3)).alias("dup_trigram_frac"),
+    )
+
+
 def bpe_ish_token_count(
     documents: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
