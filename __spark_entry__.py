@@ -871,16 +871,26 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_stats(spark, sf_dir):
-    from spaghettisearch_spark.operators.textops import quality_stats
+    """Cheap pretraining-quality features + the Gopher/MassiveText-style
+    repetition signals (top-token fraction, duplicate bigram/trigram
+    fractions) — one driver row set for both operators."""
+    from spaghettisearch_spark.operators.textops import (
+        quality_stats,
+        repetition_stats,
+    )
 
     qs = quality_stats(_docs(spark, sf_dir), "doc_id", "text")
-    return qs.select(
+    rep = repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return qs.join(rep, "id").select(
         F.col("id").cast("long").alias("doc_id"),
         "n_chars",
         "n_tokens",
         "n_tokens_nostop",
         _e("distinct_ratio", 10**6).alias("distinct_ratio_e6"),
         _e("mean_token_len", 10**4).alias("mean_token_len_e4"),
+        _e("top_token_frac", 10**6).alias("top_token_frac_e6"),
+        _e("dup_bigram_frac", 10**6).alias("dup_bigram_frac_e6"),
+        _e("dup_trigram_frac", 10**6).alias("dup_trigram_frac_e6"),
     )
 
 
@@ -1636,7 +1646,19 @@ SELECT doc_id::BIGINT AS doc_id, n_chars,
        len(rt)::BIGINT AS n_tokens,
        len(ft)::BIGINT AS n_tokens_nostop,
        CAST(ROUND(len(list_distinct(rt))::DOUBLE / GREATEST(len(rt), 1) * 1e6) AS BIGINT) AS distinct_ratio_e6,
-       CAST(ROUND(list_sum(list_transform(rt, t -> length(t)))::DOUBLE / GREATEST(len(rt), 1) * 1e4) AS BIGINT) AS mean_token_len_e4
+       CAST(ROUND(list_sum(list_transform(rt, t -> length(t)))::DOUBLE / GREATEST(len(rt), 1) * 1e4) AS BIGINT) AS mean_token_len_e4,
+       CAST(ROUND(CASE WHEN len(rt) = 0 THEN 0.0 ELSE
+         list_max(list_transform(list_distinct(rt),
+                                 t -> len(list_filter(rt, x -> x = t))))::DOUBLE
+           / len(rt) END * 1e6) AS BIGINT) AS top_token_frac_e6,
+       CAST(ROUND(CASE WHEN len(rt) <= 1 THEN 0.0 ELSE
+         1.0 - len(list_distinct(list_transform(range(1, len(rt)),
+                     i -> rt[i] || ' ' || rt[i+1])))::DOUBLE
+           / (len(rt) - 1) END * 1e6) AS BIGINT) AS dup_bigram_frac_e6,
+       CAST(ROUND(CASE WHEN len(rt) <= 2 THEN 0.0 ELSE
+         1.0 - len(list_distinct(list_transform(range(1, len(rt) - 1),
+                     i -> rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2])))::DOUBLE
+           / (len(rt) - 2) END * 1e6) AS BIGINT) AS dup_trigram_frac_e6
 FROM raw
 """
     sqls["bpe_token_count"] = r"""

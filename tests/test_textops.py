@@ -410,3 +410,33 @@ def test_srp_near_dup_pairs_vs_exact(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals vs hand-computed values, including
+    the empty-doc and single-token guards."""
+    from spaghettisearch_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # top 3/6; bigrams 5 -> 2 distinct; tri 4 -> 2
+            (2, "x y z w"),           # no repetition
+            (3, ""),                  # empty: all zero, no slice error
+            (4, "solo"),              # single token: ngram fracs zero
+            (5, "p p p"),             # top 1.0; bigrams 2 -> 1; tri 1 -> 1
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (
+            round(r["top_token_frac"], 6),
+            round(r["dup_bigram_frac"], 6),
+            round(r["dup_trigram_frac"], 6),
+        )
+        for r in repetition_stats(docs, "id", "text").collect()
+    }
+    assert got[1] == (0.5, round(1 - 2 / 5, 6), 0.5)
+    assert got[2] == (0.25, 0.0, 0.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (1.0, 0.0, 0.0)
+    assert got[5] == (1.0, 0.5, 0.0)
