@@ -116,6 +116,15 @@ def main() -> None:
     timings["pagerank_10iter"] = best_of(run_pagerank)
 
     # ---- queries ----
+    # wand_topk takes INDEX-VOCABULARY terms (bm25.search stems inside
+    # parse_query; the WAND entry points don't re-tokenize). This index
+    # is built with stem=True, so stem the bag first — passing raw
+    # "query"/"table" silently matched zero postings for those terms in
+    # earlier rounds and flattered every q_wand* number.
+    from spaghettisearch_spark.functions.porter2 import stem as p2stem
+
+    wand_terms = [p2stem(t) for t in ["spark", "query", "scan"]]
+    hot_term = [p2stem("table")]
     qset = {
         "q_single": lambda: search(spark, idx, "spark", cfg, k=50),
         "q_multi": lambda: search(spark, idx, "spark query scan", cfg, k=50),
@@ -126,12 +135,12 @@ def main() -> None:
             spark, idx, "spark query", cfg, pagerank=pr, k=50
         ),
         "q_wand": lambda: wand_topk(
-            spark, idx, ["spark", "query", "scan"], cfg, k=50, n_buckets=cpus
+            spark, idx, wand_terms, cfg, k=50, n_buckets=cpus
         ),
         # hot term (df ~ 1.0): the vectorized bucket kernel must keep WAND
         # at-or-under the exhaustive path even when pruning can't skip
         "q_wand_hot": lambda: wand_topk(
-            spark, idx, ["table"], cfg, k=50, n_buckets=cpus
+            spark, idx, hot_term, cfg, k=50, n_buckets=cpus
         ),
     }
     # compressed path: build shards once, query via pruned decode + WAND
@@ -153,9 +162,25 @@ def main() -> None:
     doc_map = build_doc_map(corpus).cache()
     doc_map.count()
     qset["q_wand_shards"] = lambda: wand_topk_from_shards(
-        spark, shards, doc_map, ["spark", "query", "scan"], cfg, k=50
+        spark, shards, doc_map, wand_terms, cfg, k=50
     )
+    # hard gate: the WAND paths must return the same ranking as the
+    # exhaustive path for the same bag — catches term-vocabulary
+    # mismatches (raw vs stemmed) that would otherwise just make the
+    # WAND numbers quietly faster
+    exhaustive = [
+        r["doc_id"]
+        for r in search(spark, idx, "spark query scan", cfg, k=50).collect()
+    ]
+    for q in (
+        wand_topk(spark, idx, wand_terms, cfg, k=50, n_buckets=cpus),
+        wand_topk_from_shards(spark, shards, doc_map, wand_terms, cfg, k=50),
+    ):
+        got = [r["doc_id"] for r in q.collect()]
+        assert got == exhaustive, "bench WAND ranking != exhaustive ranking"
+
     lat_ms: list[float] = []
+    min_ms: list[float] = []
     for name, q in qset.items():
         times = []
         for _ in range(reps):
@@ -164,6 +189,7 @@ def main() -> None:
             times.append(time.time() - t0)
         timings[name] = round(min(times), 4)
         lat_ms.extend(t * 1000 for t in times)
+        min_ms.append(min(times) * 1000)
 
     # ---- training-data ops ----
     from spaghettisearch_spark.functions.tokenize import tokenize_col
@@ -189,6 +215,25 @@ def main() -> None:
 
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     timings["simhash"] = best_of(lambda: simhash60(tf, "id").count())
+
+    # full near-dup pipeline: shingles -> MinHash -> banded LSH ->
+    # exact-jaccard verify on candidates only -> connected components
+    from spaghettisearch_spark.operators.graph import connected_components
+    from spaghettisearch_spark.operators.textops import (
+        jaccard_pairs,
+        token_shingles,
+    )
+
+    def run_dedup_pipeline():
+        sh = token_shingles(toks, "id", 3)
+        sigs = minhash_signatures(
+            sh.withColumnRenamed("shingle", "term"), "id", 8
+        )
+        cands = lsh_candidate_pairs(sigs, band_rows=2, max_bucket=200)
+        verified = jaccard_pairs(sh, threshold=0.2, candidates=cands)
+        connected_components(verified.select("id_a", "id_b")).count()
+
+    timings["dedup_pipeline"] = best_of(run_dedup_pipeline)
 
     from spaghettisearch_spark.operators.similarity import (
         cosine_topk,
@@ -220,6 +265,9 @@ def main() -> None:
         "n_files": n_files,
         "files_per_sec": round(n_files / build_sec, 2),
         "query_p50_ms": round(statistics.median(lat_ms), 1),
+        # median of per-query MINs — the noise-robust latency headline
+        # (query_p50_ms medians ALL reps incl. cold first runs)
+        "query_p50_min_ms": round(statistics.median(min_ms), 1),
         "cpus": cpus,
         "reps": {"query": reps, "build": build_reps, "op": op_reps},
     }

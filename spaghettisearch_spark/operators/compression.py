@@ -289,7 +289,11 @@ def decode_shards(shards: DataFrame) -> DataFrame:
                 out, columns=["term", "field", "doc_key", "tf", "weight", "positions"]
             )
 
-    return shards.mapInPandas(_decode, DECODED_SCHEMA)
+    # only the payload columns cross Arrow — block metadata (salt,
+    # max_weight, the per-block top-N samples) is planner-side and must
+    # not ride the decode transfer
+    need = ["term", "field", "doc_ids", "tfs", "weights", "pos_lens", "positions"]
+    return shards.select(*need).mapInPandas(_decode, DECODED_SCHEMA)
 
 
 def build_doc_dim(corpus: DataFrame) -> DataFrame:

@@ -56,6 +56,7 @@ def run(cores: int, corpus: Path, zip_path: Path) -> dict:
         str(REPO / "tools" / "scaling_run.py"),
         "--cores", str(cores),
         "--corpus", str(corpus),
+        "--reps", os.environ.get("SCALING_REPS", "4"),
     ]
     env = dict(os.environ)
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
