@@ -142,18 +142,24 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
     (the north-rule storage path), cached per sf_dir."""
     if sf_dir not in _SHARDS_CACHE:
         from spaghettisearch_spark.operators.compression import (
+            build_doc_dim,
             build_posting_shards,
         )
-        from spaghettisearch_spark.operators.wand import build_doc_map
 
         idx = _engine_index(spark, sf_dir)
         corpus = idx._driver_corpus
         n_docs = corpus.count()
+        # dense-keyed shards (doc_idx) + deferred doc_id hydration: the
+        # at-scale shape — the corpus-sized map never rides a per-query
+        # shuffle (wand.py wand_topk_from_shards dense_keys docstring)
+        doc_dim = build_doc_dim(corpus).cache()
         shards = build_posting_shards(
-            idx.postings.withColumn("weight", F.col("bm25_weight")), n_docs, CFG
+            idx.postings, n_docs, CFG, doc_dim=doc_dim, weight_col="bm25_weight"
         ).cache()
         shards.count()
-        doc_map = build_doc_map(corpus).cache()
+        doc_map = doc_dim.select(
+            F.col("doc_idx").alias("doc_key"), "doc_id"
+        ).cache()
         _SHARDS_CACHE[sf_dir] = (shards, doc_map)
     return _SHARDS_CACHE[sf_dir]
 
@@ -267,7 +273,8 @@ def q_wand_topk_shards(spark, sf_dir):
 
     shards, doc_map = _engine_shards(spark, sf_dir)
     res = wand_topk_from_shards(
-        spark, shards, doc_map, QUERY_TERMS, CFG, k=20, n_buckets=8
+        spark, shards, doc_map, QUERY_TERMS, CFG, k=20, n_buckets=8,
+        dense_keys=True,
     )
     return res.select(
         F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5")

@@ -144,9 +144,17 @@ def main() -> None:
         ),
     }
     # compressed path: build shards once, query via pruned decode + WAND
-    from spaghettisearch_spark.operators.compression import build_posting_shards
-    from spaghettisearch_spark.operators.wand import build_doc_map, wand_topk_from_shards
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
 
+    # dense doc dimension: shards keyed by doc_idx, doc_id strings joined
+    # only to the kernel's n_buckets*k output rows (the at-scale shape —
+    # the corpus-sized map never enters the per-query shuffle)
+    doc_dim = build_doc_dim(corpus).cache()
+    doc_dim.count()
     shards = None
 
     def run_shard_build():
@@ -154,15 +162,17 @@ def main() -> None:
         if shards is not None:
             shards.unpersist()
         shards = build_posting_shards(
-            idx.postings.withColumn("weight", F.col("bm25_weight")), n_files, cfg
+            idx.postings, n_files, cfg, doc_dim=doc_dim, weight_col="bm25_weight"
         ).cache()
         shards.count()
 
     timings["shard_build"] = best_of(run_shard_build)
-    doc_map = build_doc_map(corpus).cache()
+    doc_map = doc_dim.select(
+        F.col("doc_idx").alias("doc_key"), "doc_id"
+    ).cache()
     doc_map.count()
     qset["q_wand_shards"] = lambda: wand_topk_from_shards(
-        spark, shards, doc_map, wand_terms, cfg, k=50
+        spark, shards, doc_map, wand_terms, cfg, k=50, dense_keys=True
     )
     # hard gate: the WAND paths must return the same ranking as the
     # exhaustive path for the same bag — catches term-vocabulary
@@ -174,7 +184,9 @@ def main() -> None:
     ]
     for q in (
         wand_topk(spark, idx, wand_terms, cfg, k=50, n_buckets=cpus),
-        wand_topk_from_shards(spark, shards, doc_map, wand_terms, cfg, k=50),
+        wand_topk_from_shards(
+            spark, shards, doc_map, wand_terms, cfg, k=50, dense_keys=True
+        ),
     ):
         got = [r["doc_id"] for r in q.collect()]
         assert got == exhaustive, "bench WAND ranking != exhaustive ranking"

@@ -194,9 +194,17 @@ def build_posting_shards(
     cfg: EngineConfig = DEFAULT,
     term_stats: DataFrame | None = None,
     doc_dim: DataFrame | None = None,
+    weight_col: str = "weight",
 ) -> DataFrame:
     """postings(term, field, doc_id, tf, positions, weight) -> compressed
     block rows, one per (term, field, salt).
+
+    ``weight_col`` names the score column baked into the blocks. Index
+    postings carry BOTH ``weight`` (normTF*idf, the reference's tf-idf
+    mode) and ``bm25_weight``; WAND scoring expects the latter, so every
+    query-path caller must pass ``weight_col="bm25_weight"`` (or remap
+    beforehand) — sharding the tf-idf column silently produces a
+    differently-ranked top-k.
 
     Two-phase skew handling: hot terms (df > salt_df_threshold * n_docs)
     get ``salt = doc_key % n_salts`` so each block is bounded; cold terms
@@ -209,6 +217,8 @@ def build_posting_shards(
     default 60-bit-hash keying needs no dimension table and is fine for
     tests; the build pipeline always passes doc_dim.
     """
+    if weight_col != "weight":
+        postings = postings.withColumn("weight", F.col(weight_col))
     if term_stats is None:
         term_stats = postings.groupBy("term", "field").agg(
             F.count("*").cast("long").alias("df")

@@ -76,6 +76,17 @@ _OUT_SCHEMA = T.StructType(
     ]
 )
 
+# dense-key variant: the shard path can score on the long doc_idx and
+# hydrate doc_id strings AFTER top-k (see wand_topk_from_shards)
+_OUT_SCHEMA_LONG = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title_rank", T.DoubleType()),
+        T.StructField("body_rank", T.DoubleType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
 
 def _wand_bucket(cfg: EngineConfig, k: int):
     """Build the per-bucket kernel. Input pdf columns:
@@ -333,11 +344,17 @@ def _wand_from_hits(
     bucketed = per_doc_term.withColumn(
         "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
+    long_keys = dict(hits.dtypes).get("doc_id") == "bigint"
+    if long_keys and kernel == "daat":
+        raise ValueError(
+            "the DAAT kernel tie-breaks on string doc_ids; dense long "
+            "keys require the vectorized kernel (kernel='taat')"
+        )
     bucket_kernel = (
         _wand_bucket(cfg, k) if kernel == "daat" else _score_bucket_vectorized(k)
     )
     local = bucketed.groupBy("doc_bucket").applyInPandas(
-        bucket_kernel, _OUT_SCHEMA
+        bucket_kernel, _OUT_SCHEMA_LONG if long_keys else _OUT_SCHEMA
     )
     out = local
     if pagerank is not None:
@@ -429,6 +446,7 @@ def wand_topk_from_shards(
     n_buckets: int = 16,
     pagerank: DataFrame | None = None,
     kernel: str = "taat",
+    dense_keys: bool = False,
 ) -> DataFrame:
     """Exact top-k straight from the compressed posting shards: pruned
     shard scan -> varbyte decode (mapInPandas) -> block-max WAND.
@@ -438,12 +456,22 @@ def wand_topk_from_shards(
     derived driver-side) and only the query terms' block rows inside
     them; everything else never leaves parquet.
 
-    ``doc_map`` is (doc_key long, doc_id string) — built from the corpus
-    with ``term_hash60_col(doc_id)``. Only candidate doc_keys join it.
-    At 10^12-doc scale swap the 60-bit hash key for a dense doc index
-    assigned at ingest; the join shape is identical (collisions at 60
-    bits merge postings of distinct docs — detectable by comparing
-    count(distinct doc_key) to count(distinct doc_id) at build).
+    ``doc_map`` is (doc_key long, doc_id string). Two keying modes:
+
+    - ``dense_keys=False``: doc_key is ``term_hash60(doc_id)`` (no
+      dimension table needed — test/ad-hoc mode). The map joins the
+      candidate postings BEFORE scoring, because tie-breaking needs the
+      doc_id string and hash keys don't preserve its order. Collisions
+      at 60 bits merge postings of distinct docs — detectable by
+      comparing count(distinct doc_key) to count(distinct doc_id).
+    - ``dense_keys=True`` (the warehouse/at-scale path): doc_key is the
+      dense ``doc_idx`` from build_doc_dim, which is assigned in GLOBAL
+      doc_id sort order — so (score desc, doc_key asc) is the same total
+      order as (score desc, doc_id asc) and scoring can run entirely on
+      long keys. doc_map is then joined AFTER top-k against the
+      n_buckets*k kernel output (broadcast k-row side): the corpus-sized
+      map never enters the per-query shuffle, which is the only join
+      shape that survives 10^12 docs. Requires the vectorized kernel.
     """
     from collections import Counter
 
@@ -499,6 +527,27 @@ def wand_topk_from_shards(
         [(t, i, float(counts[t])) for i, t in enumerate(term_list)],
         "term string, qterm_id int, qtf double",
     )
+    if dense_keys:
+        # score on the dense long keys; hydrate doc_id strings after top-k
+        hits = decoded.join(F.broadcast(qdf), "term").select(
+            F.col("doc_key").alias("doc_id"), "field", "qterm_id", "qtf",
+            F.col("weight").alias("contrib"),
+        )
+        pr_keyed = None
+        if pagerank is not None:
+            # at 10^12 docs store PR doc_key-keyed at build time; this
+            # remap is the ad-hoc equivalent
+            pr_keyed = pagerank.join(doc_map, "doc_id").select(
+                F.col("doc_key").alias("doc_id"), "rank"
+            )
+        ranked = _wand_from_hits(
+            spark, hits, len(counts), cfg, k, n_buckets, pr_keyed, kernel
+        ).withColumnRenamed("doc_id", "doc_key")
+        return (
+            doc_map.join(F.broadcast(ranked), "doc_key")
+            .select("doc_id", "title_rank", "body_rank", "pagerank", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
     hits = (
         decoded.join(F.broadcast(qdf), "term")
         .join(doc_map, "doc_key")

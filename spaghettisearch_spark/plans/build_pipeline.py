@@ -198,11 +198,12 @@ def build_all(
         stage(
             "posting_shards",
             lambda: build_posting_shards(
-                postings.withColumn("weight", F.col("bm25_weight")),
+                postings,
                 n_docs,
                 cfg,
                 term_stats,
                 doc_dim=doc_dim,
+                weight_col="bm25_weight",
             ),
             input_fingerprint=fp,
             partition_by=["shard"],

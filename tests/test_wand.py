@@ -88,6 +88,57 @@ def test_wand_from_shards_matches_exhaustive(spark, corpus_small, index_small):
     shards.unpersist(); doc_map.unpersist()
 
 
+def test_wand_from_shards_dense_keys(spark, corpus_small, index_small):
+    """Deferred-hydration shard path: shards keyed by the dense doc_idx
+    (build_doc_dim assigns it in global doc_id sort order, so scoring +
+    tie-breaking on the long key is the same total order), doc_id strings
+    joined only to the n_buckets*k kernel output. Must equal exhaustive,
+    with and without the PageRank blend."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.operators.links import extract_links
+    from spaghettisearch_spark.operators.pagerank import compute_pagerank
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    n_docs = corpus_small.count()
+    doc_dim = build_doc_dim(corpus_small).cache()
+    shards = build_posting_shards(
+        index_small.postings, n_docs, DEFAULT,
+        doc_dim=doc_dim, weight_col="bm25_weight",
+    ).cache()
+    doc_map = doc_dim.select(F.col("doc_idx").alias("doc_key"), "doc_id").cache()
+    pr = compute_pagerank(
+        spark, corpus_small, extract_links(corpus_small)
+    ).cache()
+    for query, prank in [
+        ("parse", None),
+        ("parse buffer flush", None),
+        ("dispatch", None),
+        ("parse buffer", pr),
+    ]:
+        terms, _ = parse_query(query)
+        want = _exhaustive(spark, index_small, query, 15, pagerank=prank)
+        got = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=15, n_buckets=4,
+            pagerank=prank, dense_keys=True,
+        ).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        wand_topk_from_shards(
+            spark, shards, doc_map, ["parse"], DEFAULT, k=5,
+            dense_keys=True, kernel="daat",
+        ).collect()
+    shards.unpersist(); doc_map.unpersist(); doc_dim.unpersist(); pr.unpersist()
+
+
 def test_block_skip_before_decode(spark):
     """Skip planner: on a skewed fixture (a hot term whose salted blocks
     have very different max weights), the shard path decodes FEWER blocks
