@@ -160,7 +160,7 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
         doc_map = doc_dim.select(
             F.col("doc_idx").alias("doc_key"), "doc_id"
         ).cache()
-        _SHARDS_CACHE[sf_dir] = (shards, doc_map)
+        _SHARDS_CACHE[sf_dir] = (shards, doc_map, {})
     return _SHARDS_CACHE[sf_dir]
 
 
@@ -271,10 +271,10 @@ def q_wand_topk_shards(spark, sf_dir):
     oracle as the in-memory paths."""
     from spaghettisearch_spark.operators.wand import wand_topk_from_shards
 
-    shards, doc_map = _engine_shards(spark, sf_dir)
+    shards, doc_map, meta = _engine_shards(spark, sf_dir)
     res = wand_topk_from_shards(
         spark, shards, doc_map, QUERY_TERMS, CFG, k=20, n_buckets=8,
-        dense_keys=True,
+        dense_keys=True, meta_cache=meta,
     )
     return res.select(
         F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5")
@@ -287,7 +287,7 @@ def q_phrase_topk_shards(spark, sf_dir):
     oracle as phrase_topk."""
     from spaghettisearch_spark.operators.phrase import phrase_matches_from_shards
 
-    shards, doc_map = _engine_shards(spark, sf_dir)
+    shards, doc_map, _meta = _engine_shards(spark, sf_dir)
     m = phrase_matches_from_shards(spark, shards, doc_map, list(PHRASE), CFG)
     scored = (
         m.groupBy("doc_id")

@@ -156,11 +156,13 @@ def main() -> None:
     doc_dim = build_doc_dim(corpus).cache()
     doc_dim.count()
     shards = None
+    shard_meta: dict = {}  # per-term block metadata (serving-node dictionary)
 
     def run_shard_build():
         nonlocal shards
         if shards is not None:
             shards.unpersist()
+        shard_meta.clear()
         shards = build_posting_shards(
             idx.postings, n_files, cfg, doc_dim=doc_dim, weight_col="bm25_weight"
         ).cache()
@@ -172,7 +174,8 @@ def main() -> None:
     ).cache()
     doc_map.count()
     qset["q_wand_shards"] = lambda: wand_topk_from_shards(
-        spark, shards, doc_map, wand_terms, cfg, k=50, dense_keys=True
+        spark, shards, doc_map, wand_terms, cfg, k=50, dense_keys=True,
+        meta_cache=shard_meta,
     )
     # hard gate: the WAND paths must return the same ranking as the
     # exhaustive path for the same bag — catches term-vocabulary
@@ -185,7 +188,8 @@ def main() -> None:
     for q in (
         wand_topk(spark, idx, wand_terms, cfg, k=50, n_buckets=cpus),
         wand_topk_from_shards(
-            spark, shards, doc_map, wand_terms, cfg, k=50, dense_keys=True
+            spark, shards, doc_map, wand_terms, cfg, k=50, dense_keys=True,
+            meta_cache=shard_meta,
         ),
     ):
         got = [r["doc_id"] for r in q.collect()]
@@ -237,13 +241,18 @@ def main() -> None:
     )
 
     def run_dedup_pipeline():
-        sh = token_shingles(toks, "id", 3)
-        sigs = minhash_signatures(
-            sh.withColumnRenamed("shingle", "term"), "id", 8
-        )
-        cands = lsh_candidate_pairs(sigs, band_rows=2, max_bucket=200)
-        verified = jaccard_pairs(sh, threshold=0.2, candidates=cands)
-        connected_components(verified.select("id_a", "id_b")).count()
+        # shingles feed BOTH the signature and the verify stage — cache
+        # the shared intermediate (timing includes materialization)
+        sh = token_shingles(toks, "id", 3).cache()
+        try:
+            sigs = minhash_signatures(
+                sh.withColumnRenamed("shingle", "term"), "id", 8
+            )
+            cands = lsh_candidate_pairs(sigs, band_rows=2, max_bucket=200)
+            verified = jaccard_pairs(sh, threshold=0.2, candidates=cands)
+            connected_components(verified.select("id_a", "id_b")).count()
+        finally:
+            sh.unpersist()
 
     timings["dedup_pipeline"] = best_of(run_dedup_pipeline)
 

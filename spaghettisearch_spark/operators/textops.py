@@ -213,18 +213,37 @@ def jaccard_pairs(
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >=
     threshold. If ``candidates`` (id_a, id_b) given, verify only those
     (the LSH fast path); else all pairs sharing any shingle (exact path).
+
+    The fast path intersects THROUGH the candidate list — candidates
+    join the a-side shingles on id_a, then the b-side on (id_b,
+    shingle) — so its cost is |candidates| x shingles-per-doc, not the
+    all-pairs shingle self-join (which is quadratic in hot-shingle
+    frequency and is exactly what LSH exists to avoid at scale). A
+    filter on the self-join would not push below the join, so the shape
+    must differ, not just the predicate.
     """
     sizes = shingles.groupBy("id").agg(F.count("*").cast("long").alias("n"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
     b = shingles.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        cand = (
+            candidates.select("id_a", "id_b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "shingle"], "left_semi")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")

@@ -447,6 +447,7 @@ def wand_topk_from_shards(
     pagerank: DataFrame | None = None,
     kernel: str = "taat",
     dense_keys: bool = False,
+    meta_cache: dict | None = None,
 ) -> DataFrame:
     """Exact top-k straight from the compressed posting shards: pruned
     shard scan -> varbyte decode (mapInPandas) -> block-max WAND.
@@ -472,6 +473,14 @@ def wand_topk_from_shards(
       n_buckets*k kernel output (broadcast k-row side): the corpus-sized
       map never enters the per-query shuffle, which is the only join
       shape that survives 10^12 docs. Requires the vectorized kernel.
+
+    ``meta_cache``: optional dict owned by the caller, mapping term ->
+    its block-metadata rows. A serving node queries the same shards
+    frame repeatedly; without the cache every query pays one extra
+    driver job just to fetch the (tiny) per-term block metadata for
+    skip planning. With it, only first-seen terms are collected — the
+    in-memory term dictionary every native engine keeps, made explicit.
+    The caller must drop the dict when the shards frame is rebuilt.
     """
     from collections import Counter
 
@@ -498,13 +507,26 @@ def wand_topk_from_shards(
         # columns (parquet column pruning — the varbyte payloads stay on
         # disk), derive an exact threshold from the per-block top-N
         # samples, and decode only blocks whose upper bound can beat it.
-        meta = (
-            pruned.select(
-                "term", "field", "salt", "max_weight",
-                "top_doc_keys", "top_weights",
-            )
-            .collect()
-        )
+        meta_cols = [
+            "term", "field", "salt", "max_weight",
+            "top_doc_keys", "top_weights",
+        ]
+        if meta_cache is None:
+            meta = pruned.select(*meta_cols).collect()
+        else:
+            missing = [t for t in term_list if t not in meta_cache]
+            if missing:
+                m_pruned = shards.filter(F.col("term").isin(missing))
+                if "shard" in shards.columns:
+                    m_ids = sorted(
+                        {term_hash60_py(t) % cfg.n_shards for t in missing}
+                    )
+                    m_pruned = m_pruned.filter(F.col("shard").isin(m_ids))
+                fetched: dict[str, list] = {t: [] for t in missing}
+                for r in m_pruned.select(*meta_cols).collect():
+                    fetched[r["term"]].append(r)
+                meta_cache.update(fetched)
+            meta = [r for t in term_list for r in meta_cache.get(t, [])]
         extra_ub = 0.0
         if pagerank is not None:
             pr_max = pagerank.agg(F.max("rank")).first()[0]

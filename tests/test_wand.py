@@ -139,6 +139,43 @@ def test_wand_from_shards_dense_keys(spark, corpus_small, index_small):
     shards.unpersist(); doc_map.unpersist(); doc_dim.unpersist(); pr.unpersist()
 
 
+def test_wand_shards_meta_cache(spark, corpus_small, index_small):
+    """meta_cache: the per-term block-metadata dictionary a serving node
+    keeps. Cached and uncached planning must produce identical results;
+    repeated queries must not re-collect already-cached terms (including
+    terms absent from the index, cached as empty)."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators.compression import build_posting_shards
+    from spaghettisearch_spark.operators.wand import (
+        build_doc_map,
+        wand_topk_from_shards,
+    )
+
+    n_docs = corpus_small.count()
+    shards = build_posting_shards(
+        index_small.postings, n_docs, DEFAULT, weight_col="bm25_weight"
+    ).cache()
+    doc_map = build_doc_map(corpus_small).cache()
+    cache: dict = {}
+    for query in ["parse buffer", "dispatch", "parse zzzznotaword"]:
+        terms, _ = parse_query(query)
+        plain = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=10
+        ).collect()
+        cached = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=10, meta_cache=cache
+        ).collect()
+        again = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=10, meta_cache=cache
+        ).collect()
+        assert [r["doc_id"] for r in cached] == [r["doc_id"] for r in plain]
+        assert cached == again
+        for t in terms:
+            assert t in cache  # missing-from-index terms cached as []
+    shards.unpersist(); doc_map.unpersist()
+
+
 def test_block_skip_before_decode(spark):
     """Skip planner: on a skewed fixture (a hot term whose salted blocks
     have very different max weights), the shard path decodes FEWER blocks
