@@ -228,7 +228,9 @@ def build_posting_shards(
         "term", "field", F.lit(True).alias("is_hot")
     )
 
-    if doc_dim is not None:
+    if "doc_key" in postings.columns:
+        pass  # caller pre-keyed (merge path re-encoding decoded blocks)
+    elif doc_dim is not None:
         postings = postings.join(
             doc_dim.select("doc_id", F.col("doc_idx").alias("doc_key")), "doc_id"
         )
@@ -325,3 +327,106 @@ def build_doc_dim(corpus: DataFrame) -> DataFrame:
     )
     rdd = ids.rdd.map(lambda r: r[0]).zipWithIndex()
     return spark.createDataFrame(rdd, "doc_id string, doc_idx long")
+
+
+# ---------------------------------------------------------------------------
+# LSM-style delta merge (north-rule "posting-list ... merge")
+# ---------------------------------------------------------------------------
+
+def merge_posting_shards(
+    base: DataFrame,
+    delta: DataFrame,
+    n_docs: int,
+    cfg: EngineConfig = DEFAULT,
+    delete_postings: DataFrame | None = None,
+) -> DataFrame:
+    """Merge a delta shard set into a base shard set, decoding ONLY the
+    touched (term, field) groups.
+
+    The reference merges per-term posting JSON under a writer lock
+    (indexer.go:350-408 read-modify-write); here the merge is a plan:
+
+    - touched groups = (term, field) present in ``delta`` or in
+      ``delete_postings`` (term, field, doc_key — the exact old postings
+      of deleted/changed docs, known from the warehouse's postings_raw).
+      Everything else passes through UNTOUCHED — the varbyte payloads
+      are never decoded, so merge cost scales with the delta, not the
+      index (the LSM compaction property; at 10^12 files the base is
+      ~all of the index and the delta is one crawl batch).
+    - touched groups are decoded (base + delta), upserted (a doc_key
+      present in both sides takes the delta's row), tombstones dropped,
+      then re-encoded by the same block builder — so salt
+      classification is re-derived from the merged df (a term that
+      crossed the hot threshold gets salted now, not at the next full
+      rebuild).
+
+    Weight semantics (the standard LSM trade): stored impact weights are
+    carried as-is per segment; global-stats drift (df/avgdl/N move as
+    docs arrive) is NOT retrofitted onto untouched blocks — the periodic
+    full pipeline rebuild refreshes them. Exactness on postings (doc
+    sets, tf, positions) is total; tests build both sides against the
+    same stats and assert merged == rebuilt-from-scratch.
+
+    Both sides must use the same doc_key mode (same doc_dim, or both
+    60-bit hash keys).
+    """
+    from pyspark.sql import Window
+
+    touched = delta.select("term", "field").distinct()
+    if delete_postings is not None:
+        touched = touched.unionByName(
+            delete_postings.select("term", "field").distinct()
+        ).distinct()
+
+    untouched = base.join(touched, ["term", "field"], "left_anti")
+    touched_base = base.join(touched, ["term", "field"], "left_semi")
+
+    rows = decode_shards(touched_base).withColumn("src", F.lit(0))
+    if delete_postings is not None:
+        # tombstones kill BASE rows only — a delta re-adding the same
+        # (term, field, doc_key) supersedes its own tombstone
+        rows = rows.join(
+            delete_postings.select("term", "field", "doc_key"),
+            ["term", "field", "doc_key"],
+            "left_anti",
+        )
+    drows = decode_shards(delta).withColumn("src", F.lit(1))
+    merged = rows.unionByName(drows)
+    # upsert: delta wins on (term, field, doc_key); group size <= 2
+    w = Window.partitionBy("term", "field", "doc_key").orderBy(F.desc("src"))
+    merged = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "src")
+    )
+    reencoded = build_posting_shards(merged, n_docs, cfg)
+    return untouched.unionByName(reencoded)
+
+
+def extend_doc_dim(doc_dim: DataFrame, new_corpus: DataFrame) -> DataFrame:
+    """Append-only doc_idx assignment: docs not yet in ``doc_dim`` get
+    contiguous indexes starting past the current max (in doc_id order
+    among themselves). Existing mappings are never re-derived — required
+    for merge_posting_shards with dense keys, where base blocks bake the
+    old indexes in.
+
+    Tie-break caveat this creates: doc_idx order now equals doc_id
+    string order only WITHIN an ingest segment, so the dense-key WAND
+    tie-break (score desc, doc_idx asc) ranks exact score ties by
+    segment age first. The periodic full rebuild re-derives a globally
+    sorted dim and restores string-order ties."""
+    spark = doc_dim.sparkSession
+    row = doc_dim.agg(F.max("doc_idx")).first()
+    start = int(row[0]) + 1 if row[0] is not None else 0
+    fresh = (
+        new_corpus.select("doc_id")
+        .distinct()
+        .join(doc_dim.select("doc_id"), "doc_id", "left_anti")
+        .repartitionByRange(max(new_corpus.rdd.getNumPartitions(), 8), "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    rdd = fresh.rdd.map(lambda r: r[0]).zipWithIndex().map(
+        lambda kv: (kv[0], kv[1] + start)
+    )
+    new_part = spark.createDataFrame(rdd, "doc_id string, doc_idx long")
+    return doc_dim.unionByName(new_part)

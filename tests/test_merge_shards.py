@@ -1,0 +1,131 @@
+"""LSM-style delta-shard merge (north rule: posting-list construction,
+MERGE, compression). merge_posting_shards must (a) reproduce exactly the
+shards a from-scratch build would produce when both sides share global
+stats, (b) pass untouched blocks through byte-identical without decoding
+them, and (c) honor upserts (delta wins) and tombstones."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spaghettisearch_spark.config import DEFAULT
+from spaghettisearch_spark.functions.hashing import term_hash60_col
+from spaghettisearch_spark.operators.compression import (
+    build_doc_dim,
+    build_posting_shards,
+    decode_shards,
+    extend_doc_dim,
+    merge_posting_shards,
+)
+
+
+def _decoded_set(spark, shards):
+    return {
+        (r["term"], r["field"], r["doc_key"], r["tf"],
+         round(r["weight"], 9), tuple(r["positions"]))
+        for r in decode_shards(shards).collect()
+    }
+
+
+def test_merge_equals_scratch_build(spark, corpus_small, index_small):
+    n_docs = corpus_small.count()
+    postings = index_small.postings.withColumn(
+        "weight", F.col("bm25_weight")
+    ).select("term", "field", "doc_id", "tf", "positions", "weight").cache()
+
+    # pick ~20% of docs as the "changed" segment
+    changed_ids = (
+        corpus_small.select("doc_id")
+        .orderBy("doc_id")
+        .limit(max(n_docs // 5, 3))
+        .cache()
+    )
+    fresh = postings.join(changed_ids, "doc_id", "left_semi")
+    kept = postings.join(changed_ids, "doc_id", "left_anti")
+
+    # base = kept postings + STALE rows for the changed docs (old tf,
+    # plus a term that vanished in the new version)
+    stale = fresh.withColumn("tf", F.col("tf") + F.lit(1)).unionByName(
+        fresh.limit(5).withColumn("term", F.lit("zzstaleterm"))
+    )
+    base = build_posting_shards(stale.unionByName(kept), n_docs, DEFAULT).cache()
+    delta = build_posting_shards(fresh, n_docs, DEFAULT).cache()
+    tombstones = stale.select(
+        "term", "field", term_hash60_col("doc_id").alias("doc_key")
+    )
+
+    merged = merge_posting_shards(
+        base, delta, n_docs, DEFAULT, delete_postings=tombstones
+    ).cache()
+    scratch = build_posting_shards(postings, n_docs, DEFAULT).cache()
+
+    assert _decoded_set(spark, merged) == _decoded_set(spark, scratch)
+    # the vanished term leaves no block behind
+    assert merged.filter(F.col("term") == "zzstaleterm").count() == 0
+
+    # untouched (term, field) groups pass through byte-identical
+    touched = (
+        delta.select("term", "field")
+        .unionByName(tombstones.select("term", "field"))
+        .distinct()
+    )
+    untouched_base = base.join(touched, ["term", "field"], "left_anti")
+    untouched_merged = merged.join(touched, ["term", "field"], "left_anti")
+    key = lambda r: (r["term"], r["field"], r["salt"])
+    blocks_b = {key(r): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["weights"]))
+                for r in untouched_base.collect()}
+    blocks_m = {key(r): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["weights"]))
+                for r in untouched_merged.collect()}
+    assert blocks_b and blocks_b == blocks_m
+    for df_ in (base, delta, merged, scratch, postings, changed_ids):
+        df_.unpersist()
+
+
+def test_merge_salt_reclassification(spark, corpus_small, index_small):
+    """A term pushed over the hot-df threshold BY the delta gets salted
+    at merge time (re-encoded groups re-derive salt from merged df)."""
+    import spaghettisearch_spark.config as config_mod
+
+    n_docs = corpus_small.count()
+    postings = index_small.postings.withColumn(
+        "weight", F.col("bm25_weight")
+    ).select("term", "field", "doc_id", "tf", "positions", "weight")
+    # synthetic cold term in base (1 doc), delta adds it to EVERY doc
+    one = postings.limit(1).withColumn("term", F.lit("zzrare"))
+    base = build_posting_shards(postings.unionByName(one), n_docs, DEFAULT)
+    everywhere = (
+        corpus_small.select("doc_id")
+        .withColumn("term", F.lit("zzrare"))
+        .withColumn("field", F.lit("body"))
+        .withColumn("tf", F.lit(1))
+        .withColumn("positions", F.array(F.lit(0)))
+        .withColumn("weight", F.lit(1.0))
+    )
+    delta = build_posting_shards(everywhere, n_docs, DEFAULT)
+    merged = merge_posting_shards(base, delta, n_docs, DEFAULT)
+    salts = {
+        r["salt"]
+        for r in merged.filter(F.col("term") == "zzrare").collect()
+    }
+    assert len(salts) > 1  # hot now -> salted into multiple blocks
+
+
+def test_extend_doc_dim_append_only(spark, corpus_small):
+    half = corpus_small.limit(corpus_small.count() // 2).cache()
+    dim0 = build_doc_dim(half).cache()
+    dim1 = extend_doc_dim(dim0, corpus_small).cache()
+    old = {r["doc_id"]: r["doc_idx"] for r in dim0.collect()}
+    new = {r["doc_id"]: r["doc_idx"] for r in dim1.collect()}
+    # existing mappings unchanged
+    assert all(new[d] == i for d, i in old.items())
+    # full coverage, contiguous, fresh ids strictly after the old max
+    assert len(new) == corpus_small.select("doc_id").distinct().count()
+    assert sorted(new.values()) == list(range(len(new)))
+    fresh_ids = set(new) - set(old)
+    assert fresh_ids and min(new[d] for d in fresh_ids) == max(old.values()) + 1
+    # idempotent: extending with no new docs adds nothing
+    dim2 = extend_doc_dim(dim1, corpus_small)
+    assert dim2.count() == dim1.count()
+    for df_ in (half, dim0, dim1):
+        df_.unpersist()
