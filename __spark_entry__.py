@@ -146,16 +146,31 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
             build_posting_shards,
         )
 
+        from spaghettisearch_spark.operators.compression import (
+            merge_posting_shards,
+        )
+
         idx = _engine_index(spark, sf_dir)
         corpus = idx._driver_corpus
         n_docs = corpus.count()
         # dense-keyed shards (doc_idx) + deferred doc_id hydration: the
         # at-scale shape — the corpus-sized map never rides a per-query
-        # shuffle (wand.py wand_topk_from_shards dense_keys docstring)
+        # shuffle (wand.py wand_topk_from_shards dense_keys docstring).
+        # Built as TWO segments compacted by merge_posting_shards, so the
+        # driver's hash-green wand/phrase shard rows also gate the
+        # north-rule merge path (merged must equal a one-shot build —
+        # test_merge_shards asserts that equality directly).
         doc_dim = build_doc_dim(corpus).cache()
-        shards = build_posting_shards(
-            idx.postings, n_docs, CFG, doc_dim=doc_dim, weight_col="bm25_weight"
-        ).cache()
+        seg = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+        base = build_posting_shards(
+            idx.postings.filter(seg == 0), n_docs, CFG,
+            doc_dim=doc_dim, weight_col="bm25_weight",
+        )
+        delta = build_posting_shards(
+            idx.postings.filter(seg == 1), n_docs, CFG,
+            doc_dim=doc_dim, weight_col="bm25_weight",
+        )
+        shards = merge_posting_shards(base, delta, n_docs, CFG).cache()
         shards.count()
         doc_map = doc_dim.select(
             F.col("doc_idx").alias("doc_key"), "doc_id"
@@ -268,7 +283,8 @@ def q_wand_topk(spark, sf_dir):
 def q_wand_topk_shards(spark, sf_dir):
     """Exact top-k straight from the COMPRESSED posting shards (pruned
     scan -> varbyte decode -> WAND) — must hash-match the same BM25
-    oracle as the in-memory paths."""
+    oracle as the in-memory paths. The shards are two segments compacted
+    by merge_posting_shards, so this row also gates the merge path."""
     from spaghettisearch_spark.operators.wand import wand_topk_from_shards
 
     shards, doc_map, meta = _engine_shards(spark, sf_dir)
