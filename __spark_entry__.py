@@ -165,13 +165,15 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
         base = build_posting_shards(
             idx.postings.filter(seg == 0), n_docs, CFG,
             doc_dim=doc_dim, weight_col="bm25_weight",
-        )
+        ).cache()
         delta = build_posting_shards(
             idx.postings.filter(seg == 1), n_docs, CFG,
             doc_dim=doc_dim, weight_col="bm25_weight",
-        )
+        ).cache()
         shards = merge_posting_shards(base, delta, n_docs, CFG).cache()
         shards.count()
+        base.unpersist()
+        delta.unpersist()
         doc_map = doc_dim.select(
             F.col("doc_idx").alias("doc_key"), "doc_id"
         ).cache()

@@ -169,6 +169,60 @@ def main() -> None:
         shards.count()
 
     timings["shard_build"] = best_of(run_shard_build)
+
+    # LSM delta merge: 90% of docs as the standing base, time compacting
+    # the other 10% in (delta build + merge). The number to read against
+    # shard_build: incremental maintenance cost vs full re-shard.
+    from spaghettisearch_spark.operators.compression import merge_posting_shards
+
+    seg = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    base_90 = build_posting_shards(
+        idx.postings.filter(seg != 0), n_files, cfg,
+        doc_dim=doc_dim, weight_col="bm25_weight",
+    ).cache()
+    base_90.count()
+
+    def run_shard_merge():
+        # the delta segment is materialized before compaction (as any
+        # real segment would be on storage); its build cost is timed
+        delta = build_posting_shards(
+            idx.postings.filter(seg == 0), n_files, cfg,
+            doc_dim=doc_dim, weight_col="bm25_weight",
+        ).cache()
+        try:
+            merge_posting_shards(base_90, delta, n_files, cfg).count()
+        finally:
+            delta.unpersist()
+
+    timings["shard_merge_10pct"] = best_of(run_shard_merge)
+
+    # pass-through case: a delta touching only a handful of (term,
+    # field) groups — everything else must flow through undecoded, so
+    # this cost is ~independent of index size (the LSM win condition;
+    # the 10pct case above is the worst case on a tiny-vocab corpus
+    # where any real delta touches every hot term)
+    rare_delta = (
+        idx.postings.limit(10)
+        .withColumn("term", F.concat(F.lit("qzzrare"), F.col("tf").cast("string")))
+        .select("term", "field", "doc_id", "tf", "positions", "bm25_weight")
+    )
+
+    def run_shard_merge_rare():
+        delta = build_posting_shards(
+            rare_delta, n_files, cfg, doc_dim=doc_dim, weight_col="bm25_weight"
+        ).cache()
+        try:
+            # partitions_only: the dynamic-partition-overwrite write set
+            # — compaction I/O bounded by touched shard partitions
+            merge_posting_shards(
+                base_90, delta, n_files, cfg, partitions_only=True
+            ).count()
+        finally:
+            delta.unpersist()
+
+    timings["shard_merge_rare"] = best_of(run_shard_merge_rare)
+    base_90.unpersist()
+
     doc_map = doc_dim.select(
         F.col("doc_idx").alias("doc_key"), "doc_id"
     ).cache()

@@ -270,10 +270,20 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_shards(shards: DataFrame) -> DataFrame:
+def decode_shards(
+    shards: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """posting_shards -> one row per (term, field, doc_key) — the
     round-trip inverse of build_posting_shards (modulo doc_id -> 60-bit
-    doc_key projection)."""
+    doc_key projection). ``passthrough`` names extra non-payload columns
+    to replicate onto every decoded row (e.g. a segment tag the merge
+    adds before a single union-then-decode stage); they must not collide
+    with the decoded column names."""
+    extra = list(passthrough)
+    out_cols = ["term", "field", "doc_key", "tf", "weight", "positions"] + extra
+    schema = T.StructType(
+        list(DECODED_SCHEMA.fields) + [shards.schema[c] for c in extra]
+    )
 
     def _decode(batch_iter):
         for pdf in batch_iter:
@@ -284,6 +294,7 @@ def decode_shards(shards: DataFrame) -> DataFrame:
                 weights = np.frombuffer(row.weights, dtype=">f8").astype(np.float64)
                 pos_lens = vb_decode(row.pos_lens)
                 flat = vb_decode(row.positions)
+                extras = tuple(getattr(row, c) for c in extra)
                 offs = np.concatenate(([0], np.cumsum(pos_lens)))
                 for i in range(len(keys)):
                     deltas = flat[offs[i]:offs[i + 1]]
@@ -296,16 +307,15 @@ def decode_shards(shards: DataFrame) -> DataFrame:
                             float(weights[i]),
                             np.cumsum(deltas).astype(np.int32).tolist(),
                         )
+                        + extras
                     )
-            yield pd.DataFrame(
-                out, columns=["term", "field", "doc_key", "tf", "weight", "positions"]
-            )
+            yield pd.DataFrame(out, columns=out_cols)
 
     # only the payload columns cross Arrow — block metadata (salt,
     # max_weight, the per-block top-N samples) is planner-side and must
     # not ride the decode transfer
     need = ["term", "field", "doc_ids", "tfs", "weights", "pos_lens", "positions"]
-    return shards.select(*need).mapInPandas(_decode, DECODED_SCHEMA)
+    return shards.select(*(need + extra)).mapInPandas(_decode, schema)
 
 
 def build_doc_dim(corpus: DataFrame) -> DataFrame:
@@ -339,9 +349,18 @@ def merge_posting_shards(
     n_docs: int,
     cfg: EngineConfig = DEFAULT,
     delete_postings: DataFrame | None = None,
+    partitions_only: bool = False,
 ) -> DataFrame:
     """Merge a delta shard set into a base shard set, decoding ONLY the
     touched (term, field) groups.
+
+    ``partitions_only=True`` returns ONLY the rows belonging to shard
+    partitions the delta touches (merged + their pass-through rows) —
+    the frame to write with dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic`` over the
+    ``partitionBy("shard")`` layout), so compaction I/O is bounded by
+    |touched shard partitions| regardless of index size. The default
+    returns the complete merged index (in-memory serving / tests).
 
     The reference merges per-term posting JSON under a writer lock
     (indexer.go:350-408 read-modify-write); here the merge is a plan:
@@ -368,36 +387,71 @@ def merge_posting_shards(
     same stats and assert merged == rebuilt-from-scratch.
 
     Both sides must use the same doc_key mode (same doc_dim, or both
-    60-bit hash keys).
+    60-bit hash keys). Pass MATERIALIZED segments (cached or read from
+    storage): the plan references each side more than once (touched-set
+    derivation, pass-through anti-join, decode), and Spark does not
+    dedupe common subplans — an unmaterialized side gets recomputed per
+    reference.
     """
-    from pyspark.sql import Window
-
     touched = delta.select("term", "field").distinct()
     if delete_postings is not None:
         touched = touched.unionByName(
             delete_postings.select("term", "field").distinct()
         ).distinct()
 
+    if partitions_only:
+        # bounded collect: <= cfg.n_shards distinct partition ids
+        ids = sorted(
+            {r[0] for r in delta.select("shard").distinct().collect()}
+            | (
+                {
+                    r[0]
+                    for r in delete_postings.select(
+                        (term_hash60_col("term") % cfg.n_shards).cast("int")
+                    ).distinct().collect()
+                }
+                if delete_postings is not None
+                else set()
+            )
+        )
+        base = base.filter(F.col("shard").isin(ids))
+
     untouched = base.join(touched, ["term", "field"], "left_anti")
     touched_base = base.join(touched, ["term", "field"], "left_semi")
 
-    rows = decode_shards(touched_base).withColumn("src", F.lit(0))
+    # single decode stage over both sides (src tag rides the decode),
+    # then ONE aggregation does the upsert: delta (src=1) wins on
+    # (term, field, doc_key); group size <= 2
+    sides = touched_base.withColumn("src", F.lit(0)).unionByName(
+        delta.withColumn("src", F.lit(1))
+    )
+    rows = decode_shards(sides, passthrough=("src",))
+    merged = rows.groupBy("term", "field", "doc_key").agg(
+        F.max_by(F.struct("tf", "weight", "positions"), F.col("src")).alias("p"),
+        F.max("src").alias("max_src"),
+    )
     if delete_postings is not None:
-        # tombstones kill BASE rows only — a delta re-adding the same
-        # (term, field, doc_key) supersedes its own tombstone
-        rows = rows.join(
-            delete_postings.select("term", "field", "doc_key"),
-            ["term", "field", "doc_key"],
-            "left_anti",
+        # tombstones kill rows whose LATEST version is the base's
+        # (max_src=0) — a delta re-adding the same (term, field,
+        # doc_key) supersedes its own tombstone
+        merged = (
+            merged.join(
+                delete_postings.select("term", "field", "doc_key")
+                .distinct()
+                .withColumn("tomb", F.lit(True)),
+                ["term", "field", "doc_key"],
+                "left",
+            )
+            .filter(
+                ~(F.coalesce("tomb", F.lit(False)) & (F.col("max_src") == 0))
+            )
+            .drop("tomb")
         )
-    drows = decode_shards(delta).withColumn("src", F.lit(1))
-    merged = rows.unionByName(drows)
-    # upsert: delta wins on (term, field, doc_key); group size <= 2
-    w = Window.partitionBy("term", "field", "doc_key").orderBy(F.desc("src"))
-    merged = (
-        merged.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "src")
+    merged = merged.select(
+        "term", "field", "doc_key",
+        F.col("p.tf").alias("tf"),
+        F.col("p.weight").alias("weight"),
+        F.col("p.positions").alias("positions"),
     )
     reencoded = build_posting_shards(merged, n_docs, cfg)
     return untouched.unionByName(reencoded)

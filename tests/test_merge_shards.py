@@ -111,6 +111,76 @@ def test_merge_salt_reclassification(spark, corpus_small, index_small):
     assert len(salts) > 1  # hot now -> salted into multiple blocks
 
 
+def test_merge_partitions_only(spark, corpus_small, index_small):
+    """partitions_only: the dynamic-partition-overwrite write set. Must
+    equal the full merge restricted to the delta's shard partitions, and
+    contain no rows from untouched partitions."""
+    n_docs = corpus_small.count()
+    postings = index_small.postings.withColumn(
+        "weight", F.col("bm25_weight")
+    ).select("term", "field", "doc_id", "tf", "positions", "weight")
+    one_doc = postings.join(
+        corpus_small.select("doc_id").orderBy("doc_id").limit(1), "doc_id"
+    )
+    base = build_posting_shards(postings, n_docs, DEFAULT).cache()
+    delta = build_posting_shards(
+        one_doc.orderBy("term", "field").limit(5)
+        .withColumn("tf", F.col("tf") + F.lit(1)),
+        n_docs, DEFAULT,
+    ).cache()
+    ids = {r[0] for r in delta.select("shard").distinct().collect()}
+    assert ids and len(ids) < DEFAULT.n_shards  # a real subset
+
+    full = merge_posting_shards(base, delta, n_docs, DEFAULT).cache()
+    part = merge_posting_shards(
+        base, delta, n_docs, DEFAULT, partitions_only=True
+    ).cache()
+    assert {r[0] for r in part.select("shard").distinct().collect()} <= ids
+    want = _decoded_set(spark, full.filter(F.col("shard").isin(list(ids))))
+    got = _decoded_set(spark, part)
+    assert got == want
+    for df_ in (base, delta, full, part):
+        df_.unpersist()
+
+
+def test_merge_sequential_folds(spark, corpus_small, index_small):
+    """Streaming-maintenance shape: fold micro-batch segments into the
+    standing shards one merge at a time. Batch 3 re-updates docs first
+    seen (stale) in batch 1, with tombstones, ACROSS an intervening
+    merge — the folded result must equal the one-shot build of the
+    final postings."""
+    n_docs = corpus_small.count()
+    postings = index_small.postings.withColumn(
+        "weight", F.col("bm25_weight")
+    ).select("term", "field", "doc_id", "tf", "positions", "weight").cache()
+
+    ids = [r["doc_id"] for r in
+           corpus_small.select("doc_id").orderBy("doc_id").collect()]
+    third = max(len(ids) // 3, 1)
+    a_ids, b_ids = set(ids[:third * 2]), set(ids[third * 2:])
+    c_ids = set(ids[:third // 2 + 1])  # subset of A, updated in batch 3
+
+    p_a = postings.filter(F.col("doc_id").isin(list(a_ids - c_ids)))
+    p_b = postings.filter(F.col("doc_id").isin(list(b_ids)))
+    p_c = postings.filter(F.col("doc_id").isin(list(c_ids)))
+    stale_c = p_c.withColumn("tf", F.col("tf") + F.lit(2))
+
+    s1 = build_posting_shards(p_a.unionByName(stale_c), n_docs, DEFAULT)
+    s2 = build_posting_shards(p_b, n_docs, DEFAULT)
+    s3 = build_posting_shards(p_c, n_docs, DEFAULT)
+    tomb = stale_c.select(
+        "term", "field", term_hash60_col("doc_id").alias("doc_key")
+    )
+
+    folded = merge_posting_shards(
+        merge_posting_shards(s1, s2, n_docs, DEFAULT),
+        s3, n_docs, DEFAULT, delete_postings=tomb,
+    )
+    scratch = build_posting_shards(postings, n_docs, DEFAULT)
+    assert _decoded_set(spark, folded) == _decoded_set(spark, scratch)
+    postings.unpersist()
+
+
 def test_extend_doc_dim_append_only(spark, corpus_small):
     half = corpus_small.limit(corpus_small.count() // 2).cache()
     dim0 = build_doc_dim(half).cache()
