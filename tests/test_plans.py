@@ -113,3 +113,40 @@ def test_broadcast_in_query_join(spark, wh_index):
 
     plan = _formatted_plan(spark, search(spark, wh_index, "parse buffer", k=10))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dense_shard_hydration_is_broadcast(spark, corpus_small, index_small):
+    """Dense-key shard path: the post-top-k doc_id hydration joins the
+    k-row kernel output under an explicit broadcast hint — the
+    corpus-sized doc_map side must never plan a SortMergeJoin (that
+    would shuffle the whole dimension per query at scale)."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.config import DEFAULT
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    doc_dim = build_doc_dim(corpus_small).cache()
+    shards = build_posting_shards(
+        index_small.postings, corpus_small.count(), DEFAULT,
+        doc_dim=doc_dim, weight_col="bm25_weight",
+    ).cache()
+    doc_map = doc_dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(
+            spark,
+            wand_topk_from_shards(
+                spark, shards, doc_map, ["pars", "buffer"], DEFAULT,
+                k=10, dense_keys=True,
+            ),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" not in plan, "dense hydration fell back to SMJ"
+    assert "BroadcastHashJoin" in plan
+    shards.unpersist(); doc_dim.unpersist()
