@@ -144,9 +144,6 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
         from spaghettisearch_spark.operators.compression import (
             build_doc_dim,
             build_posting_shards,
-        )
-
-        from spaghettisearch_spark.operators.compression import (
             merge_posting_shards,
         )
 
@@ -172,11 +169,15 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
         ).cache()
         shards = merge_posting_shards(base, delta, n_docs, CFG).cache()
         shards.count()
-        base.unpersist()
-        delta.unpersist()
         doc_map = doc_dim.select(
             F.col("doc_idx").alias("doc_key"), "doc_id"
         ).cache()
+        doc_map.count()
+        # only shards + doc_map serve queries; the build-time frames
+        # (segments, dim) must not pin executor storage for the session
+        base.unpersist()
+        delta.unpersist()
+        doc_dim.unpersist()
         _SHARDS_CACHE[sf_dir] = (shards, doc_map, {})
     return _SHARDS_CACHE[sf_dir]
 

@@ -201,10 +201,23 @@ def main() -> None:
     # this cost is ~independent of index size (the LSM win condition;
     # the 10pct case above is the worst case on a tiny-vocab corpus
     # where any real delta touches every hot term)
-    rare_delta = (
-        idx.postings.limit(10)
-        .withColumn("term", F.concat(F.lit("qzzrare"), F.col("tf").cast("string")))
-        .select("term", "field", "doc_id", "tf", "positions", "bm25_weight")
+    # deterministic 10-row delta, one unique synthetic term per row
+    # (an unordered limit would compare different deltas across rounds,
+    # and reused terms could collide into duplicate doc_keys per block)
+    _sample = (
+        idx.postings.select("field", "doc_id", "tf", "positions", "bm25_weight")
+        .orderBy("doc_id", "field", "tf")
+        .limit(10)
+        .collect()
+    )
+    rare_delta = spark.createDataFrame(
+        [
+            (f"qzzrare{i}", r["field"], r["doc_id"], r["tf"],
+             r["positions"], r["bm25_weight"])
+            for i, r in enumerate(_sample)
+        ],
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, bm25_weight double",
     )
 
     def run_shard_merge_rare():

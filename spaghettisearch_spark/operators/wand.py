@@ -502,6 +502,7 @@ def wand_topk_from_shards(
     if "shard" in shards.columns:
         pruned = pruned.filter(F.col("shard").isin(shard_ids))
 
+    meta = None
     if "top_weights" in pruned.columns:
         # block-max skipping BEFORE decode: read ONLY the block metadata
         # columns (parquet column pruning — the varbyte payloads stay on
@@ -550,6 +551,23 @@ def wand_topk_from_shards(
         "term string, qterm_id int, qtf double",
     )
     if dense_keys:
+        # loud guard for the silent-empty failure mode: shards built
+        # with 60-bit hash keys joined against a dense doc_map match
+        # nothing. The block-metadata samples are already on the driver;
+        # dense doc_idx values are < n_docs while hash keys are uniform
+        # in [0, 2^60) — a sampled key past 2^44 (~17T docs) cannot be a
+        # dense index this engine targets.
+        if meta is not None:
+            sampled = [
+                dk for r in meta for dk in (r["top_doc_keys"] or [])
+            ]
+            if sampled and max(sampled) >= (1 << 44):
+                raise ValueError(
+                    "dense_keys=True but the shards' doc_keys look like "
+                    "60-bit hash keys (sampled key >= 2^44) — build the "
+                    "shards with doc_dim= and pass the matching dense "
+                    "doc_map, or drop dense_keys"
+                )
         # score on the dense long keys; hydrate doc_id strings after top-k
         hits = decoded.join(F.broadcast(qdf), "term").select(
             F.col("doc_key").alias("doc_id"), "field", "qterm_id", "qtf",

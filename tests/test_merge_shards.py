@@ -45,10 +45,14 @@ def test_merge_equals_scratch_build(spark, corpus_small, index_small):
     kept = postings.join(changed_ids, "doc_id", "left_anti")
 
     # base = kept postings + STALE rows for the changed docs (old tf,
-    # plus a term that vanished in the new version)
+    # plus a term that vanished in the new version). The vanished-term
+    # rows are picked DETERMINISTICALLY (ordered limit) — an unordered
+    # limit re-evaluates differently in the base-build and tombstone
+    # subplans and makes the equality below flaky.
     stale = fresh.withColumn("tf", F.col("tf") + F.lit(1)).unionByName(
-        fresh.limit(5).withColumn("term", F.lit("zzstaleterm"))
-    )
+        fresh.orderBy("doc_id", "field", "term").limit(5)
+        .withColumn("term", F.lit("zzstaleterm"))
+    ).cache()
     base = build_posting_shards(stale.unionByName(kept), n_docs, DEFAULT).cache()
     delta = build_posting_shards(fresh, n_docs, DEFAULT).cache()
     tombstones = stale.select(
@@ -78,7 +82,7 @@ def test_merge_equals_scratch_build(spark, corpus_small, index_small):
     blocks_m = {key(r): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["weights"]))
                 for r in untouched_merged.collect()}
     assert blocks_b and blocks_b == blocks_m
-    for df_ in (base, delta, merged, scratch, postings, changed_ids):
+    for df_ in (base, delta, merged, scratch, postings, changed_ids, stale):
         df_.unpersist()
 
 

@@ -115,11 +115,17 @@ def test_broadcast_in_query_join(spark, wh_index):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_dense_shard_hydration_is_broadcast(spark, corpus_small, index_small):
+def test_dense_shard_hydration_is_broadcast(
+    spark, corpus_small, index_small, tmp_path
+):
     """Dense-key shard path: the post-top-k doc_id hydration joins the
     k-row kernel output under an explicit broadcast hint — the
     corpus-sized doc_map side must never plan a SortMergeJoin (that
-    would shuffle the whole dimension per query at scale)."""
+    would shuffle the whole dimension per query at scale). Shards are
+    written and read back (the production shape) so the plan under test
+    is the QUERY plan, not the build lineage — the build's
+    postings-to-doc_dim shuffle join is intentional and would otherwise
+    appear in the explain output of an inline-built frame."""
     from pyspark.sql import functions as F
 
     from spaghettisearch_spark.operators.compression import (
@@ -130,11 +136,15 @@ def test_dense_shard_hydration_is_broadcast(spark, corpus_small, index_small):
     from spaghettisearch_spark.operators.wand import wand_topk_from_shards
 
     doc_dim = build_doc_dim(corpus_small).cache()
-    shards = build_posting_shards(
+    build_posting_shards(
         index_small.postings, corpus_small.count(), DEFAULT,
         doc_dim=doc_dim, weight_col="bm25_weight",
-    ).cache()
-    doc_map = doc_dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    ).write.parquet(str(tmp_path / "shards"))
+    shards = spark.read.parquet(str(tmp_path / "shards"))
+    doc_dim.select(F.col("doc_idx").alias("doc_key"), "doc_id").write.parquet(
+        str(tmp_path / "doc_map")
+    )
+    doc_map = spark.read.parquet(str(tmp_path / "doc_map"))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -149,4 +159,4 @@ def test_dense_shard_hydration_is_broadcast(spark, corpus_small, index_small):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" not in plan, "dense hydration fell back to SMJ"
     assert "BroadcastHashJoin" in plan
-    shards.unpersist(); doc_dim.unpersist()
+    doc_dim.unpersist()

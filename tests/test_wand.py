@@ -136,6 +136,17 @@ def test_wand_from_shards_dense_keys(spark, corpus_small, index_small):
             spark, shards, doc_map, ["parse"], DEFAULT, k=5,
             dense_keys=True, kernel="daat",
         ).collect()
+    # keying-mismatch guard: hash-keyed shards + dense_keys must raise
+    # loudly instead of silently hydrating zero rows
+    hash_shards = build_posting_shards(
+        index_small.postings, n_docs, DEFAULT, weight_col="bm25_weight"
+    ).cache()
+    with _pt.raises(ValueError, match="hash keys"):
+        wand_topk_from_shards(
+            spark, hash_shards, doc_map, ["pars"], DEFAULT, k=5,
+            dense_keys=True,
+        )
+    hash_shards.unpersist()
     shards.unpersist(); doc_map.unpersist(); doc_dim.unpersist(); pr.unpersist()
 
 
