@@ -160,3 +160,40 @@ def test_dense_shard_hydration_is_broadcast(
     assert "SortMergeJoin" not in plan, "dense hydration fell back to SMJ"
     assert "BroadcastHashJoin" in plan
     doc_dim.unpersist()
+
+
+def test_shard_scan_partition_prunes(spark, corpus_small, index_small, tmp_path):
+    """North-rule storage layout: posting shards written
+    partitionBy("shard") must partition-prune to the query terms' shard
+    ids at the SCAN (the Spark analog of the reference's per-term point
+    gets) — and non-queried columns must not be read."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.config import DEFAULT
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    doc_dim = build_doc_dim(corpus_small).cache()
+    build_posting_shards(
+        index_small.postings, corpus_small.count(), DEFAULT,
+        doc_dim=doc_dim, weight_col="bm25_weight",
+    ).write.partitionBy("shard").parquet(str(tmp_path / "shards"))
+    shards = spark.read.parquet(str(tmp_path / "shards"))
+    doc_map = doc_dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    plan = _formatted_plan(
+        spark,
+        wand_topk_from_shards(
+            spark, shards, doc_map, ["pars"], DEFAULT, k=10, dense_keys=True
+        ),
+    )
+    assert re.search(r"PartitionFilters:.*shard#\d+ (=|IN)", plan), (
+        "shard scan did not partition-prune:\n"
+        + "\n".join(l for l in plan.splitlines() if "PartitionFilters" in l)
+    )
+    assert re.search(
+        r"PushedFilters:.*(In|EqualTo)\(term", plan
+    ), "term filter not pushed"
+    doc_dim.unpersist()
