@@ -15,6 +15,7 @@ engines so the driver's value-hash compares integers, not float reprs.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 from collections.abc import Callable
 
@@ -146,6 +147,12 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
             build_posting_shards,
             merge_posting_shards,
         )
+        from spaghettisearch_spark.operators.incremental import diff_corpus
+        from spaghettisearch_spark.operators.index_build import (
+            build_postings,
+            tokenize_fields,
+        )
+        from spaghettisearch_spark.sources.corpus import ingest
 
         idx = _engine_index(spark, sf_dir)
         corpus = idx._driver_corpus
@@ -153,31 +160,71 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
         # dense-keyed shards (doc_idx) + deferred doc_id hydration: the
         # at-scale shape — the corpus-sized map never rides a per-query
         # shuffle (wand.py wand_topk_from_shards dense_keys docstring).
-        # Built as TWO segments compacted by merge_posting_shards, so the
-        # driver's hash-green wand/phrase shard rows also gate the
-        # north-rule merge path (merged must equal a one-shot build —
-        # test_merge_shards asserts that equality directly).
+        #
+        # The shards are produced by a SIMULATED RE-CRAWL, so every
+        # hash-green shard entry also gates the composed incremental
+        # path (the reference's checkAndUpdate analog, indexer.go:
+        # 420-641): ~10% of docs start STALE (perturbed content with a
+        # vanished synthetic term) in the base segment; diff_corpus
+        # detects them by content_sha256; the delta re-indexes them and
+        # merge_posting_shards applies the delta WITH tombstones for the
+        # stale postings. The merged shards must equal a one-shot build
+        # of the true corpus — which is exactly what the DuckDB oracles
+        # of wand_topk_shards / phrase_topk_shards assert.
         doc_dim = build_doc_dim(corpus).cache()
-        seg = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+        raw = corpus.select("repo", "path", "commit", "lang", "content")
+        stale_pred = F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0
+        changed_ids = corpus.filter(stale_pred).select("doc_id").cache()
+        stale_raw = ingest(raw).withColumn(
+            "content",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0,
+                F.concat(F.col("content"), F.lit(" zzstaleterm zzstaleterm")),
+            ).otherwise(F.col("content")),
+        ).select("repo", "path", "commit", "lang", "content")
+        stale_corpus = ingest(stale_raw).cache()
+        # stale postings for the changed docs (weights irrelevant — every
+        # one of these rows is tombstoned and/or upserted by the delta)
+        stale_postings = build_postings(
+            tokenize_fields(
+                stale_corpus.join(changed_ids, "doc_id", "left_semi"), CFG
+            )
+        ).withColumn("weight", F.lit(1.0)).cache()
+        true_keep = (
+            idx.postings.join(changed_ids, "doc_id", "left_anti")
+            .withColumn("weight", F.col("bm25_weight"))
+            .select("term", "field", "doc_id", "tf", "positions", "weight")
+        )
         base = build_posting_shards(
-            idx.postings.filter(seg == 0), n_docs, CFG,
-            doc_dim=doc_dim, weight_col="bm25_weight",
+            true_keep.unionByName(
+                stale_postings.select(
+                    "term", "field", "doc_id", "tf", "positions", "weight"
+                )
+            ),
+            n_docs, CFG, doc_dim=doc_dim, weight_col="weight",
         ).cache()
+        # --- the re-crawl batch arrives: the true docs ---
+        changed = diff_corpus(stale_corpus, raw).cache()
         delta = build_posting_shards(
-            idx.postings.filter(seg == 1), n_docs, CFG,
-            doc_dim=doc_dim, weight_col="bm25_weight",
+            idx.postings.join(changed.select("doc_id"), "doc_id", "left_semi"),
+            n_docs, CFG, doc_dim=doc_dim, weight_col="bm25_weight",
         ).cache()
-        shards = merge_posting_shards(base, delta, n_docs, CFG).cache()
+        tombstones = stale_postings.join(doc_dim, "doc_id").select(
+            "term", "field", F.col("doc_idx").alias("doc_key")
+        )
+        shards = merge_posting_shards(
+            base, delta, n_docs, CFG, delete_postings=tombstones
+        ).cache()
         shards.count()
         doc_map = doc_dim.select(
             F.col("doc_idx").alias("doc_key"), "doc_id"
         ).cache()
         doc_map.count()
         # only shards + doc_map serve queries; the build-time frames
-        # (segments, dim) must not pin executor storage for the session
-        base.unpersist()
-        delta.unpersist()
-        doc_dim.unpersist()
+        # (segments, dim, diff) must not pin executor storage
+        for f in (base, delta, doc_dim, stale_corpus, stale_postings,
+                  changed, changed_ids):
+            f.unpersist()
         _SHARDS_CACHE[sf_dir] = (shards, doc_map, {})
     return _SHARDS_CACHE[sf_dir]
 
@@ -524,29 +571,19 @@ def q_q3_revenue_top10(spark, sf_dir):
     return j.orderBy(F.desc("revenue_e2"), F.asc("l_orderkey")).limit(10)
 
 
-def q_q5_supplier_volume(spark, sf_dir):
-    """Q5-style multi-way join: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
-    nation ⋈ region, revenue per nation — broadcast dims, one fact scan."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
-            ).cast("long").alias("revenue_e2"),
-            F.count("*").cast("long").alias("n_items"),
-        )
-    )
+def q_snippets(spark, sf_dir):
+    """Result-card snippet extraction (reference get_metadata.go:79-209):
+    first free-term match -> ±10-word window around it, else the static
+    middle-21-words fallback. Arrow-batched pandas UDF; runs here over
+    every doc so the driver can hash the full surface, though the
+    serving path applies it to the k hydrated top-k rows only. stem=False
+    mode so DuckDB can mirror the match exactly (the stemmed mode is
+    golden-pair gated in test_porter2/test_api)."""
+    from spaghettisearch_spark.functions.snippets import summary_udf
+
+    d = _docs(spark, sf_dir)
+    udf = summary_udf(QUERY_TERMS, [], stem=False)
+    return d.select(_did().alias("did"), udf(F.col("text")).alias("snippet"))
 
 
 def q_events_rollup(spark, sf_dir):
@@ -730,7 +767,10 @@ def q_events_sessionize_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("sessionize stream did not drain within 300s")
+    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows
     out = spark.table(name)
     return out.select(
         "user_id",
@@ -1098,7 +1138,10 @@ def q_dedup_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dedup stream did not drain within 300s")
+    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the rows
     return spark.table(name).select(
         "user_id",
         "event_type",
@@ -1216,7 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_meta": q_topic_meta,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_revenue_top10": q_q3_revenue_top10,
-        "q5_supplier_volume": q_q5_supplier_volume,
+        "snippets": q_snippets,
         "region_rollup": q_region_rollup,
         "events_rollup": q_events_rollup,
         "events_profile": q_events_profile,
@@ -1452,17 +1495,29 @@ GROUP BY l_orderkey
 ORDER BY revenue_e2 DESC, l_orderkey ASC
 LIMIT 10
 """
-    sqls["q5_supplier_volume"] = """
-SELECT r_name, n_name,
-       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_e2,
-       COUNT(*)::BIGINT AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name
+    snippet_terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    sqls["snippets"] = f"""
+WITH w AS (
+  SELECT md5(source || '/' || CAST(doc_id AS VARCHAR)) AS did,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+n AS (
+  SELECT did, words, len(words) AS L,
+         [regexp_replace(lower(x), '[^a-z0-9]', '', 'g') FOR x IN words] AS norm
+  FROM w
+),
+m AS (
+  SELECT did, words, L,
+         [i FOR i IN generate_series(1, L) IF norm[i] IN ({snippet_terms})][1] AS idx
+  FROM n
+)
+SELECT did,
+  CASE WHEN L = 0 THEN ''
+       WHEN idx IS NOT NULL THEN array_to_string(words[greatest(idx-10,1):least(idx+10,L)], ' ')
+       ELSE array_to_string(words[greatest((L//2)-10,0)+1:least(greatest((L//2)-10,0)+21, L)], ' ')
+  END AS snippet
+FROM m
 """
     sqls["events_rollup"] = """
 SELECT COALESCE(event_type, '<all>') AS event_type,

@@ -261,6 +261,9 @@ def main() -> None:
     ):
         got = [r["doc_id"] for r in q.collect()]
         assert got == exhaustive, "bench WAND ranking != exhaustive ranking"
+    from spaghettisearch_spark.operators import wand as wand_mod
+
+    skip_stats = {"main_multi": dict(wand_mod.LAST_SKIP_STATS)}
 
     lat_ms: list[float] = []
     min_ms: list[float] = []
@@ -340,6 +343,135 @@ def main() -> None:
         ).count()
     )
 
+    # ---- Zipf-vocabulary section: the at-scale machinery measured on a
+    # corpus that can exercise it (the driver corpus's uniform 24-word
+    # vocabulary can't: every delta touches every hot group and block
+    # maxima are flat). 20k-term Zipf(1.1) corpus, same doc count. ----
+    from spaghettisearch_spark.fixtures import make_zipf_documents
+    from spaghettisearch_spark.operators.compression import merge_posting_shards as _merge
+
+    zn = int(os.environ.get("BENCH_ZIPF_DOCS", str(n_files)))
+    zdocs = make_zipf_documents(spark, zn).cache()
+    zdocs.count()
+    zcfg = EngineConfig(stem=False)
+    t0 = time.time()
+    zcorpus = from_driver_documents(zdocs)
+    zidx = build_index(zcorpus, zcfg)
+    zidx.postings.cache().count()
+    zidx.doc_stats.cache().count()
+    zidx.term_stats.cache().count()
+    zidx.corpus_stats.cache().count()
+    timings["zipf_index_build"] = round(time.time() - t0, 4)
+
+    zdim = build_doc_dim(zcorpus).cache()
+    zdim.count()
+    zshards = None
+    zmeta: dict = {}
+
+    def run_zipf_shard_build():
+        nonlocal zshards
+        if zshards is not None:
+            zshards.unpersist()
+        zmeta.clear()
+        zshards = build_posting_shards(
+            zidx.postings, zn, zcfg, doc_dim=zdim, weight_col="bm25_weight"
+        ).cache()
+        zshards.count()
+
+    timings["zipf_shard_build"] = best_of(run_zipf_shard_build)
+    zmap = zdim.select(F.col("doc_idx").alias("doc_key"), "doc_id").cache()
+    zmap.count()
+
+    hot_bag = ["zw00000", "zw00001", "zw00002"]
+    mid_bag = ["zw00000", "zw00150", "zw02500"]
+
+    def zq(bag, meta=zmeta, sh=None):
+        return wand_topk_from_shards(
+            spark, sh if sh is not None else zshards, zmap, bag, zcfg,
+            k=50, dense_keys=True, meta_cache=meta,
+        )
+
+    # hard exactness gate before timing anything
+    for bag in (hot_bag, mid_bag, ["zw00000"]):
+        exh = [
+            r["doc_id"]
+            for r in search(spark, zidx, " ".join(bag), zcfg, k=50).collect()
+        ]
+        got = [r["doc_id"] for r in zq(bag).collect()]
+        assert got == exh, f"zipf WAND != exhaustive for {bag}"
+
+    for name, bag in (
+        ("hot", hot_bag), ("mid", mid_bag), ("single_hot", ["zw00000"])
+    ):
+        timings[f"zipf_q_wand_shards_{name}"] = best_of(
+            lambda bag=bag: zq(bag).collect(), n=reps
+        )
+        # blocks the skip planner kept vs saw on the LAST run of this bag
+        skip_stats[f"zipf_{name}"] = dict(wand_mod.LAST_SKIP_STATS)
+    timings["zipf_q_exhaustive_hot"] = best_of(
+        lambda: search(spark, zidx, " ".join(hot_bag), zcfg, k=50).collect(),
+        n=reps,
+    )
+    timings["zipf_q_exhaustive_single"] = best_of(
+        lambda: search(spark, zidx, "zw00000", zcfg, k=50).collect(), n=reps
+    )
+    timings["zipf_q_wand_mem_hot"] = best_of(
+        lambda: wand_topk(
+            spark, zidx, hot_bag, zcfg, k=50, n_buckets=cpus
+        ).collect(),
+        n=reps,
+    )
+
+    # LSM on a real vocabulary: 10% doc delta. Three numbers to read
+    # together: full re-shard (zipf_shard_build), delta-merge compaction,
+    # and the append-only segment path (segment build cost ∝ delta; the
+    # 2-segment query shows the read-side price of deferring compaction).
+    zseg = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    zbase = build_posting_shards(
+        zidx.postings.filter(zseg != 0), zn, zcfg,
+        doc_dim=zdim, weight_col="bm25_weight",
+    ).cache()
+    zbase.count()
+
+    def run_zipf_merge():
+        delta = build_posting_shards(
+            zidx.postings.filter(zseg == 0), zn, zcfg,
+            doc_dim=zdim, weight_col="bm25_weight",
+        ).cache()
+        try:
+            _merge(zbase, delta, zn, zcfg).count()
+        finally:
+            delta.unpersist()
+
+    timings["zipf_shard_merge_10pct"] = best_of(run_zipf_merge)
+
+    def run_zipf_append():
+        build_posting_shards(
+            zidx.postings.filter(zseg == 0), zn, zcfg,
+            doc_dim=zdim, weight_col="bm25_weight",
+        ).count()
+
+    timings["zipf_segment_append_10pct"] = best_of(run_zipf_append)
+
+    zdelta = build_posting_shards(
+        zidx.postings.filter(zseg == 0), zn, zcfg,
+        doc_dim=zdim, weight_col="bm25_weight",
+    ).cache()
+    zdelta.count()
+    two_seg = zbase.unionByName(zdelta)
+    zmeta2: dict = {}
+    exh = [
+        r["doc_id"]
+        for r in search(spark, zidx, " ".join(hot_bag), zcfg, k=50).collect()
+    ]
+    got2 = [
+        r["doc_id"] for r in zq(hot_bag, meta=zmeta2, sh=two_seg).collect()
+    ]
+    assert got2 == exh, "2-segment query != exhaustive"
+    timings["zipf_q_wand_2seg_hot"] = best_of(
+        lambda: zq(hot_bag, meta=zmeta2, sh=two_seg).collect(), n=reps
+    )
+
     total = time.time() - t_total0
     out = {
         "metric": "index_build+query_suite_wall",
@@ -358,6 +490,10 @@ def main() -> None:
         "query_p50_min_ms": round(statistics.median(min_ms), 1),
         "cpus": cpus,
         "reps": {"query": reps, "build": build_reps, "op": op_reps},
+        # blocks kept vs total by the skip-before-decode planner — the
+        # block-max evidence (impact-ordered salt blocks since r4)
+        "skip_stats": skip_stats,
+        "zipf": {"n_docs": zn, "vocab_size": 20000, "s": 1.1},
     }
     print(json.dumps(out))
 

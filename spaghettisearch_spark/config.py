@@ -40,8 +40,11 @@ class EngineConfig:
 
     # posting shards
     n_shards: int = 32
-    # hot-term salting: terms with df above this fraction of docs get salted
-    # into `n_salts` partial groups, merged in a second aggregation pass
+    # hot-term salting: terms with df above this fraction of docs split
+    # into `n_salts` bounded blocks — weight-QUANTILE buckets (impact-
+    # ordered: block maxima decay, so block-max WAND can skip the tail),
+    # falling back to doc-hash buckets per group on degenerate tied
+    # weights (compression.py build_posting_shards)
     salt_df_threshold: float = 0.10
     n_salts: int = 16
 

@@ -162,3 +162,59 @@ def make_queries() -> pd.DataFrame:
     return pd.DataFrame(
         REFERENCE_QUERIES, columns=["query_id", "query", "kind"]
     )
+
+
+def make_zipf_documents(
+    spark,
+    n_docs: int,
+    vocab_size: int = 20000,
+    s: float = 1.1,
+    seed: int = 1117,
+    min_len: int = 50,
+    max_len: int = 400,
+):
+    """Driver-shaped corpus (doc_id, text, lang, source, n_chars) with a
+    REALISTIC heavy-tailed vocabulary: ``vocab_size`` terms drawn
+    Zipf(s). The driver's uniform 24-word corpus can't exercise block-max
+    skipping or delta-merge pass-through (every delta touches every hot
+    group); this one can — it's the bench corpus for the at-scale claims
+    (BASELINE.md round-3 "what a Zipf corpus would show" notes).
+
+    Distributed generation: spark.range -> mapInPandas, one numpy RNG per
+    doc keyed off (seed, doc_id), so the corpus is a pure function of its
+    arguments at any parallelism."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    def gen(batches):
+        probs = 1.0 / np.arange(1, vocab_size + 1) ** s
+        probs /= probs.sum()
+        vocab = np.array([f"zw{j:05d}" for j in range(vocab_size)], dtype=object)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for did in ids:
+                rng = np.random.RandomState(
+                    (seed * 2_654_435_761 + int(did)) % (2**31 - 1)
+                )
+                n = min_len + int(rng.randint(0, max_len - min_len))
+                texts.append(" ".join(vocab[rng.choice(vocab_size, size=n, p=probs)]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": ["en"] * len(ids),
+                    "source": ["zipf"] * len(ids),
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    n_parts = max(int(spark.sparkContext.defaultParallelism), 8)
+    return (
+        spark.range(n_docs)
+        .repartition(n_parts)
+        .mapInPandas(
+            gen,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )

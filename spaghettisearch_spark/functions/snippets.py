@@ -25,7 +25,12 @@ WINDOW = 10
 FALLBACK_HALF = 10
 
 
-def make_summary_py(content: str, terms: list[str], phrases: list[list[str]]) -> str:
+def make_summary_py(
+    content: str,
+    terms: list[str],
+    phrases: list[list[str]],
+    stem: bool = True,
+) -> str:
     from .porter2 import stem_cached
 
     words = content.split()
@@ -33,8 +38,12 @@ def make_summary_py(content: str, terms: list[str], phrases: list[list[str]]) ->
         return ""
     # compare in stemmed space: query terms arrive stemmed (same pipeline
     # as indexing), so document words are stemmed for matching only —
-    # the emitted snippet keeps the original surface forms
-    lower = [stem_cached(re.sub(r"[^a-z0-9]", "", w.lower())) for w in words]
+    # the emitted snippet keeps the original surface forms. ``stem=False``
+    # matches on the normalized surface form instead (the engine's
+    # unstemmed config; also the SQL-mirrorable mode the driver gate uses).
+    lower = [re.sub(r"[^a-z0-9]", "", w.lower()) for w in words]
+    if stem:
+        lower = [stem_cached(w) for w in lower]
 
     def window(i: int, j: int) -> str:
         lo = max(i - WINDOW, 0)
@@ -57,15 +66,19 @@ def make_summary_py(content: str, terms: list[str], phrases: list[list[str]]) ->
     return " ".join(words[lo:lo + 2 * FALLBACK_HALF + 1])
 
 
-def summary_udf(terms: list[str], phrases: list[list[str]]):
+def summary_udf(terms: list[str], phrases: list[list[str]], stem: bool = True):
     @F.pandas_udf(T.StringType())
     def _udf(content: pd.Series) -> pd.Series:
         return content.map(
-            lambda c: "" if c is None else make_summary_py(c, terms, phrases)
+            lambda c: "" if c is None else make_summary_py(c, terms, phrases, stem)
         )
 
     return _udf
 
 
-def with_snippets(topk, content_col: str, terms, phrases) -> "DataFrame":  # noqa: F821
-    return topk.withColumn("snippet", summary_udf(terms, phrases)(F.col(content_col)))
+def with_snippets(
+    topk, content_col: str, terms, phrases, stem: bool = True
+) -> "DataFrame":  # noqa: F821
+    return topk.withColumn(
+        "snippet", summary_udf(terms, phrases, stem)(F.col(content_col))
+    )

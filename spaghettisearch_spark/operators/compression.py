@@ -20,12 +20,15 @@ analog of the reference's per-term point Gets).
 Skew: a groupBy(term).collect_list over 10^12 files puts a hot term's
 whole posting list through one reducer. Hot terms (df above
 ``salt_df_threshold`` fraction of docs) are salted into ``n_salts``
-sub-groups keyed by doc-hash — each sub-group compresses independently
-into its own row (a posting-list *block*, exactly what block-max WAND
-wants), so no single task ever materializes an unbounded group. Cold
-terms take the single-group path. This is the explicit two-phase
-pattern the north rule demands; AQE skew-join handles residual runtime
-skew.
+sub-groups — each sub-group compresses independently into its own row
+(a posting-list *block*, exactly what block-max WAND wants), so no
+single task ever materializes an unbounded group. Since round 4 the
+salt is the WEIGHT-QUANTILE bucket (impact-ordered blocks: maxima decay
+across a term's blocks, so the skip planner can exclude the low-impact
+tail), with a per-group fallback to doc-hash salting when the weight
+distribution is too tied for distinct quantile bounds. Cold terms take
+the single-group path. This is the explicit two-phase pattern the north
+rule demands; AQE skew-join handles residual runtime skew.
 
 Encoding is numpy-vectorized inside applyInPandas (Arrow batches, no
 per-row Python).
@@ -136,9 +139,12 @@ SHARD_SCHEMA = T.StructType(
 )
 
 # per-block sample size for the skip planner's threshold estimate: big
-# enough that |blocks_of_rarest_term| * N usually covers k, small enough
-# that block metadata stays a few hundred bytes
-BLOCK_SAMPLE_N = 8
+# enough that the top blocks' samples alone cover k=50 with near-true
+# k-th weights (tight threshold -> more skippable blocks), small enough
+# that block metadata stays ~1 KB (32 longs + 32 doubles). Raised 8->32
+# in r4 alongside impact-ordered blocks: with decaying block maxima the
+# threshold quality directly bounds how much of the tail gets skipped.
+BLOCK_SAMPLE_N = 32
 
 
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -219,14 +225,43 @@ def build_posting_shards(
     """
     if weight_col != "weight":
         postings = postings.withColumn("weight", F.col(weight_col))
-    if term_stats is None:
-        term_stats = postings.groupBy("term", "field").agg(
-            F.count("*").cast("long").alias("df")
-        )
     threshold = max(int(cfg.salt_df_threshold * n_docs), 1)
-    hot = term_stats.filter(F.col("df") > threshold).select(
-        "term", "field", F.lit(True).alias("is_hot")
-    )
+
+    # IMPACT-ORDERED blocks for hot terms: salt = weight-quantile bucket
+    # (percentile_approx — a combinable sketch aggregation, so deriving
+    # the bounds is itself skew-safe). Block maxima then DECAY across a
+    # hot term's blocks, which is what gives the block-max skip planner
+    # something to skip — hash-partitioned salts homogenize every block's
+    # max and skipping can only ever exclude whole terms. Quantile
+    # bucketing keeps the write-skew bound (buckets ~df/n_salts) whenever
+    # the bounds are distinct; a degenerate weight distribution (massive
+    # ties -> indistinct bounds, e.g. a constant-weight synthetic term)
+    # falls back to doc-hash salting per group: write-bounded,
+    # skip-weak — the right trade, taken per (term, field). Cost: doc
+    # deltas within an impact block are scattered rather than dense, so
+    # doc_ids varbyte a few bits wider — paid only on hot terms.
+    #
+    # df + quantile bounds come from ONE aggregation pass so ``postings``
+    # is referenced exactly twice (stats + keyed encode) — an extra
+    # reference re-runs the whole upstream plan when the caller passes an
+    # unmaterialized frame (the merge path's decode+upsert pipeline).
+    aggs = [F.count("*").cast("long").alias("_df")]
+    if cfg.n_salts > 1:
+        probs = [i / cfg.n_salts for i in range(1, cfg.n_salts)]
+        aggs.append(F.percentile_approx("weight", probs, 10000).alias("qb"))
+    gstats = postings.groupBy("term", "field").agg(*aggs)
+    if term_stats is not None:
+        # caller-supplied df overrides the local count (same semantics as
+        # the old term_stats parameter)
+        gstats = gstats.drop("_df").join(
+            term_stats.select("term", "field", F.col("df").alias("_df")),
+            ["term", "field"],
+        )
+    if cfg.n_salts <= 1:
+        gstats = gstats.withColumn(
+            "qb", F.lit(None).cast(T.ArrayType(T.DoubleType()))
+        )
+    qb = gstats.filter(F.col("_df") > threshold).select("term", "field", "qb")
 
     if "doc_key" in postings.columns:
         pass  # caller pre-keyed (merge path re-encoding decoded blocks)
@@ -239,13 +274,16 @@ def build_posting_shards(
     keyed = (
         postings
         .withColumn("shard", (term_hash60_col("term") % cfg.n_shards).cast("int"))
-        .join(F.broadcast(hot), ["term", "field"], "left")
+        .join(F.broadcast(qb), ["term", "field"], "left")
         .withColumn(
             "salt",
-            F.when(
-                F.col("is_hot").isNotNull(),
-                (F.pmod(F.col("doc_key"), F.lit(cfg.n_salts))).cast("int"),
-            ).otherwise(F.lit(0)),
+            F.when(F.col("qb").isNull(), F.lit(0))
+            .when(
+                F.size(F.array_distinct("qb")) == cfg.n_salts - 1,
+                F.size(F.expr("filter(qb, b -> weight > b)")),
+            )
+            .otherwise(F.pmod(F.col("doc_key"), F.lit(cfg.n_salts)))
+            .cast("int"),
         )
         .select("term", "field", "shard", "salt", "doc_key", "tf", "positions", "weight")
     )
@@ -287,29 +325,53 @@ def decode_shards(
 
     def _decode(batch_iter):
         for pdf in batch_iter:
-            out = []
+            parts = []
+            # per-BLOCK loop only (a batch holds a handful of block rows);
+            # everything per-POSTING below is numpy — no Python iteration
+            # over decoded postings (the round-3 hot-path residual).
             for row in pdf.itertuples(index=False):
                 keys = delta_decode(vb_decode(row.doc_ids))
-                tfs = vb_decode(row.tfs)
+                n = len(keys)
+                if n == 0:
+                    continue
+                tfs = vb_decode(row.tfs).astype(np.int32)
                 weights = np.frombuffer(row.weights, dtype=">f8").astype(np.float64)
                 pos_lens = vb_decode(row.pos_lens)
                 flat = vb_decode(row.positions)
-                extras = tuple(getattr(row, c) for c in extra)
-                offs = np.concatenate(([0], np.cumsum(pos_lens)))
-                for i in range(len(keys)):
-                    deltas = flat[offs[i]:offs[i + 1]]
-                    out.append(
-                        (
-                            row.term,
-                            row.field,
-                            int(keys[i]),
-                            int(tfs[i]),
-                            float(weights[i]),
-                            np.cumsum(deltas).astype(np.int32).tolist(),
-                        )
-                        + extras
+                # restart the delta-cumsum at each doc boundary without a
+                # per-doc loop: global cumsum, then subtract the running
+                # total at each doc's start (g[start-1], 0 for the first)
+                ends = np.cumsum(pos_lens)
+                if flat.size:
+                    g = np.cumsum(flat)
+                    starts = ends - pos_lens
+                    base = np.repeat(
+                        np.where(starts > 0, g[np.maximum(starts, 1) - 1], 0),
+                        pos_lens,
                     )
-            yield pd.DataFrame(out, columns=out_cols)
+                    abs_pos = (g - base).astype(np.int32)
+                else:
+                    abs_pos = np.zeros(0, dtype=np.int32)
+                # one array view per DOC (not per posting); Arrow converts
+                # ndarray cells to list<int> natively
+                pos_lists = np.split(abs_pos, ends[:-1])
+                block = {
+                    "term": np.repeat(np.array([row.term], dtype=object), n),
+                    "field": np.repeat(np.array([row.field], dtype=object), n),
+                    "doc_key": keys,
+                    "tf": tfs,
+                    "weight": weights,
+                    "positions": pd.Series(pos_lists, dtype=object),
+                }
+                for c in extra:
+                    block[c] = np.repeat(
+                        np.array([getattr(row, c)], dtype=object), n
+                    )
+                parts.append(pd.DataFrame(block, columns=out_cols))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield pd.DataFrame({c: [] for c in out_cols})
 
     # only the payload columns cross Arrow — block metadata (salt,
     # max_weight, the per-block top-N samples) is planner-side and must
@@ -386,6 +448,15 @@ def merge_posting_shards(
     sets, tf, positions) is total; tests build both sides against the
     same stats and assert merged == rebuilt-from-scratch.
 
+    Caller contract: each side holds AT MOST ONE posting per (term,
+    field, doc_key) — true of anything build_posting_shards produced
+    from per-(term, field, doc) postings. A delta violating this (two
+    versions of the same posting in one segment) would make the max_by
+    upsert pick an arbitrary winner among the src-tied rows; sequence
+    multiple updates of one doc as multiple merges (or pre-dedupe the
+    delta), exactly as an LSM sequences memtable flushes. Tests assert
+    the <=2-rows-per-group invariant on the merged decode.
+
     Both sides must use the same doc_key mode (same doc_dim, or both
     60-bit hash keys). Pass MATERIALIZED segments (cached or read from
     storage): the plan references each side more than once (touched-set
@@ -453,8 +524,156 @@ def merge_posting_shards(
         F.col("p.weight").alias("weight"),
         F.col("p.positions").alias("positions"),
     )
+    # the re-encode references its input twice (salt-stats pass + keyed
+    # encode); without a materialization barrier the whole decode+upsert
+    # pipeline above would run twice per action. Lazy localCheckpoint
+    # persists the touched-group rows (size ∝ delta's reach, not the
+    # index) on first use; compaction re-runs from scratch on executor
+    # loss — idempotent, the standard recovery story for a compaction job.
+    merged = merged.localCheckpoint(eager=False)
     reencoded = build_posting_shards(merged, n_docs, cfg)
     return untouched.unionByName(reencoded)
+
+
+def refresh_shard_stats(
+    shards: DataFrame,
+    term_stats: DataFrame,
+    doc_stats_keyed: DataFrame,
+    corpus_stats_rows: list,
+    cfg: EngineConfig = DEFAULT,
+    drift_threshold: float = 0.1,
+    partitions_only: bool = False,
+) -> DataFrame:
+    """Recompute stale BM25 impact weights for ONLY the (term, field)
+    groups whose df drifted past ``drift_threshold`` since their blocks
+    were encoded — the complement of merge_posting_shards' documented
+    weight-drift trade (untouched blocks keep encode-time weights until
+    a refresh or full rebuild).
+
+    - stored df per group = sum of block dfs over its salts (readable
+      from block metadata, payloads untouched);
+    - drifted = |stored - current| / current > threshold, joined against
+      ``term_stats`` (the CURRENT (term, field, df) frame);
+    - drifted groups are decoded, re-weighted with the current stats
+      (df + dl + n_docs/avgdl via bm25_contrib_col — tf and positions
+      pass through unchanged), and re-encoded by the same block builder
+      (salt classification re-derived from current df);
+    - everything else passes through byte-identical (gated in tests).
+
+    ``doc_stats_keyed`` must be (doc_key, field, dl) in the SAME doc_key
+    mode as the shards (use key_doc_stats for the dense-dim path);
+    ``corpus_stats_rows`` is the collected CURRENT corpus_stats (field,
+    n_docs, avgdl). Global-stats drift (n_docs/avgdl move too) is only
+    repaired on the groups this refresh touches — when global drift
+    alone matters, pass drift_threshold=0.0 to refresh every group, the
+    degenerate full re-weight (still cheaper than a pipeline rebuild:
+    no tokenize, no posting aggregation, one decode->join->encode pass).
+
+    Same bounded-write shape as the merge: ``partitions_only=True``
+    returns only the touched shard partitions' rows for dynamic
+    partition overwrite. Pass materialized inputs (the plan references
+    ``shards`` more than once).
+    """
+    from .bm25 import bm25_contrib_col
+
+    stored = shards.groupBy("term", "field").agg(
+        F.sum("df").alias("stored_df")
+    )
+    drifted = (
+        stored.join(term_stats, ["term", "field"])
+        .filter(
+            (F.abs(F.col("stored_df") - F.col("df")) / F.col("df"))
+            > F.lit(float(drift_threshold))
+        )
+        .select("term", "field")
+    )
+    if partitions_only:
+        ids = sorted(
+            {
+                r[0]
+                for r in drifted.select(
+                    (term_hash60_col("term") % cfg.n_shards).cast("int")
+                ).distinct().collect()
+            }
+        )
+        shards = shards.filter(F.col("shard").isin(ids))
+    untouched = shards.join(drifted, ["term", "field"], "left_anti")
+    touched = shards.join(drifted, ["term", "field"], "left_semi")
+
+    rows = decode_shards(touched)
+    n_docs = int(corpus_stats_rows[0]["n_docs"])
+    contrib = None
+    for r in corpus_stats_rows:
+        c = bm25_contrib_col(cfg, int(r["n_docs"]), float(r["avgdl"]))
+        contrib = (
+            F.when(F.col("field") == r["field"], c)
+            if contrib is None
+            else contrib.when(F.col("field") == r["field"], c)
+        )
+    reweighted = (
+        rows.drop("weight")
+        .join(F.broadcast(term_stats), ["term", "field"])
+        .join(doc_stats_keyed, ["doc_key", "field"])
+        .withColumn("weight", contrib)
+        .select("term", "field", "doc_key", "tf", "positions", "weight")
+        # barrier: same double-reference economics as the merge path
+        .localCheckpoint(eager=False)
+    )
+    reencoded = build_posting_shards(reweighted, n_docs, cfg)
+    return untouched.unionByName(reencoded)
+
+
+def key_doc_stats(doc_stats: DataFrame, doc_dim: DataFrame | None) -> DataFrame:
+    """doc_stats(doc_id, field, dl) -> (doc_key, field, dl) in the shard
+    key mode: dense doc_idx when ``doc_dim`` is given, 60-bit hash keys
+    otherwise."""
+    if doc_dim is not None:
+        return doc_stats.join(doc_dim, "doc_id").select(
+            F.col("doc_idx").alias("doc_key"), "field", "dl"
+        )
+    return doc_stats.select(
+        term_hash60_col("doc_id").alias("doc_key"), "field", "dl"
+    )
+
+
+def resort_index(
+    shards: DataFrame, doc_dim: DataFrame, cfg: EngineConfig = DEFAULT
+) -> tuple[DataFrame, DataFrame]:
+    """Dense-dim compaction: re-derive a GLOBALLY doc_id-sorted dimension
+    and remap every block's doc_keys onto it. Returns (new_dim,
+    new_shards).
+
+    Why: extend_doc_dim appends new docs' indexes past the current max,
+    so doc_idx order equals doc_id string order only within an ingest
+    segment — exact-score ties in dense-key WAND then rank by segment
+    age instead of doc_id until this re-sort (the caveat documented on
+    extend_doc_dim). After resort, (score desc, doc_idx asc) is again
+    the same total order as (score desc, doc_id asc).
+
+    Cost shape, honestly: this rewrites every block containing a
+    remapped doc — and a global re-sort remaps ~all docs, so the pass
+    decodes and re-encodes the whole index. What it does NOT redo is the
+    expensive front of the pipeline (tokenize, posting aggregation,
+    stats, weighting): one decode -> key-translate join -> encode pass
+    with constant stage count, the periodic dim-compaction a dense-key
+    engine schedules alongside stats refresh. Weights/tf/positions pass
+    through bit-identical.
+    """
+    n_docs_hint = doc_dim.count()
+    new_dim = build_doc_dim(doc_dim.select("doc_id"))
+    remap = doc_dim.join(new_dim.withColumnRenamed("doc_idx", "new_idx"), "doc_id")
+    rows = decode_shards(shards)
+    rekeyed = (
+        rows.join(
+            remap.select(F.col("doc_idx").alias("doc_key"), "new_idx"), "doc_key"
+        )
+        .drop("doc_key")
+        .withColumnRenamed("new_idx", "doc_key")
+        .select("term", "field", "doc_key", "tf", "positions", "weight")
+        # barrier: same double-reference economics as the merge path
+        .localCheckpoint(eager=False)
+    )
+    return new_dim, build_posting_shards(rekeyed, n_docs_hint, cfg)
 
 
 def extend_doc_dim(doc_dim: DataFrame, new_corpus: DataFrame) -> DataFrame:

@@ -2,12 +2,14 @@
 
 Images/audio/video ride along as ``binary`` columns plus a metadata
 struct; decode / feature-extraction runs as Arrow-batched ``mapInPandas``
-so payload bytes never round-trip through Python row-by-row. The decode
-step itself is STUBBED (no image/audio libs in this container): the
-default codec is a deterministic fake (hash-derived features) and a real
-codec slot raises NotImplementedError unless PIL/soundfile are importable
-— the Spark-side plumbing (schema, batching, partition sizing) is real
-and tested (tests/test_multimodal.py).
+so payload bytes never round-trip through Python row-by-row. PNG images
+decode for REAL through a built-in pure-stdlib codec (decode_png: zlib
+inflate + all five scanline unfilters, 8-bit gray/GA/RGB/RGBA), with an
+encoder inverse (encode_png) for deterministic synthetic bitmaps —
+round-trip and per-filter gated in tests/test_multimodal.py. Other
+formats (JPEG, audio) use PIL/soundfile when importable and otherwise
+raise the honest NotImplementedError; fake_decode remains the
+hash-derived stand-in for plumbing tests.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 chunks each incoming Arrow batch by payload-byte budget
@@ -85,16 +87,177 @@ def fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, n_frames, feat
 
 
-def real_decode(payload: bytes):  # pragma: no cover - env without media libs
-    """Real decode slot: wire PIL/soundfile here when available."""
-    try:
-        from PIL import Image  # noqa: F401
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer — 8-bit grayscale/RGB/RGBA, non-interlaced.
+    Synthetic-source helper (deterministic test bitmaps) and the inverse
+    that proves decode_png against all five scanline filters
+    (``filter_type`` applies that filter to every row)."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    stride = w * ch
+    flat = pixels.astype(np.int32).reshape(h, stride)
+    prev = np.zeros(stride, dtype=np.int32)
+    rows = []
+    for r in range(h):
+        cur = flat[r]
+        left = np.concatenate((np.zeros(ch, np.int32), cur[:-ch]))
+        ul = np.concatenate((np.zeros(ch, np.int32), prev[:-ch]))
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        rows.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder: 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced, all five scanline filters. Returns (h, w, ch) uint8.
+
+    Unfiltering is per-scanline; Up (2) is fully vectorized, the
+    left-dependent filters (Sub/Average/Paeth) run a per-pixel loop on
+    that one row — acceptable because decode runs on bounded mapInPandas
+    chunks and rows are `width*channels` bytes, and correctness over the
+    whole public filter set beats a fast subset."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = ch = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace:
+                raise NotImplementedError("only 8-bit non-interlaced PNG")
+            ch = {0: 1, 4: 2, 2: 3, 6: 4}.get(color)
+            if ch is None:
+                raise NotImplementedError("palette PNG not supported")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    o = 0
+    for r in range(h):
+        f = raw[o]
+        cur = np.frombuffer(raw, np.uint8, stride, o + 1).astype(np.int32)
+        o += stride + 1
+        if f == 0:
+            pass
+        elif f == 2:
+            cur = (cur + prev) & 0xFF
+        elif f == 1:
+            cur = cur.copy()
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif f == 3:
+            cur = cur.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            cur = cur.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def png_features(pixels: np.ndarray) -> np.ndarray:
+    """Deterministic 8-dim image feature: overall mean + std, up to 4
+    per-channel means (zero-padded), aspect ratio, luma edge energy —
+    all in [0, 1]."""
+    h, w, ch = pixels.shape
+    x = pixels.astype(np.float64) / 255.0
+    chan = np.zeros(4)
+    chan[:ch] = x.reshape(-1, ch).mean(axis=0)
+    luma = x.mean(axis=2)
+    edges = float(np.abs(np.diff(luma, axis=1)).mean()) if w > 1 else 0.0
+    return np.array(
+        [x.mean(), x.std(), chan[0], chan[1], chan[2], chan[3],
+         w / (w + h), edges],
+        dtype=np.float32,
+    )
+
+
+def real_decode(payload: bytes):
+    """Real decode slot: PNG bytes decode through the built-in
+    pure-stdlib codec (decode_png); other formats use PIL/soundfile when
+    importable and otherwise raise the honest NotImplementedError."""
+    if payload[:8] == PNG_MAGIC:
+        px = decode_png(payload)
+        h, w, _ch = px.shape
+        return w, h, 1, png_features(px)
+    try:  # pragma: no cover - env without media libs
+        from PIL import Image
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        px = np.asarray(img, dtype=np.uint8)
+        return img.width, img.height, 1, png_features(px)
     except ImportError as e:
         raise NotImplementedError(
-            "media decoding requires PIL/soundfile; not present in this "
-            "environment — use fake_decode or install codecs"
+            "non-PNG media decoding requires PIL/soundfile; not present "
+            "in this environment — PNG decodes natively, other formats "
+            "need codecs installed"
         ) from e
-    raise NotImplementedError("real decoder not wired yet")
 
 
 def extract_media_features(

@@ -380,6 +380,10 @@ def _wand_from_hits(
 # the skip planner kept vs saw (tests assert kept < total on skewed data)
 LAST_SKIP_STATS: dict[str, int] = {"total": 0, "kept": 0}
 
+# reserved meta_cache key for the cached PageRank blend maximum (terms
+# never contain NUL, so this cannot shadow a term's metadata entry)
+_PR_MAX_KEY = "\x00pr_max"
+
 
 def select_blocks(
     meta_rows: list,
@@ -496,6 +500,16 @@ def wand_topk_from_shards(
             "pagerank double, score double"
         )
     counts = Counter(query_terms)
+    if dense_keys and "top_weights" not in shards.columns:
+        # without block metadata the hash-vs-dense key-mode mismatch guard
+        # below can't run, and a mismatched doc_map would silently return
+        # an empty result — refuse loudly instead. Every shard frame
+        # build_posting_shards produces carries these columns.
+        raise ValueError(
+            "dense_keys=True requires the block-metadata columns "
+            "(top_doc_keys/top_weights) so the key-mode guard can run; "
+            "this shards frame lacks them"
+        )
     term_list = sorted(counts)
     shard_ids = sorted({term_hash60_py(t) % cfg.n_shards for t in term_list})
     pruned = shards.filter(F.col("term").isin(term_list))
@@ -530,7 +544,16 @@ def wand_topk_from_shards(
             meta = [r for t in term_list for r in meta_cache.get(t, [])]
         extra_ub = 0.0
         if pagerank is not None:
-            pr_max = pagerank.agg(F.max("rank")).first()[0]
+            # cache the PR blend maximum alongside the term metadata —
+            # without this every blended query pays one driver aggregation
+            # even on the repeat-query path the meta_cache exists for. The
+            # reserved key can't collide: the tokenizer never emits NUL.
+            if meta_cache is not None and _PR_MAX_KEY in meta_cache:
+                pr_max = meta_cache[_PR_MAX_KEY]
+            else:
+                pr_max = pagerank.agg(F.max("rank")).first()[0]
+                if meta_cache is not None:
+                    meta_cache[_PR_MAX_KEY] = pr_max
             extra_ub = cfg.w_pagerank * cfg.blend_scale * float(pr_max or 0.0)
         keep = select_blocks(
             meta, cfg, {t: float(counts[t]) for t in term_list}, k, extra_ub

@@ -169,20 +169,64 @@ def test_merge_sequential_folds(spark, corpus_small, index_small):
     p_c = postings.filter(F.col("doc_id").isin(list(c_ids)))
     stale_c = p_c.withColumn("tf", F.col("tf") + F.lit(2))
 
-    s1 = build_posting_shards(p_a.unionByName(stale_c), n_docs, DEFAULT)
-    s2 = build_posting_shards(p_b, n_docs, DEFAULT)
-    s3 = build_posting_shards(p_c, n_docs, DEFAULT)
+    # segments are MATERIALIZED before each fold, per the caller contract
+    # in merge_posting_shards' docstring (the merge plan references each
+    # side several times; unmaterialized sides also compound the nested
+    # plan tree until the plan STRING alone can exhaust driver heap)
+    s1 = build_posting_shards(p_a.unionByName(stale_c), n_docs, DEFAULT).cache()
+    s2 = build_posting_shards(p_b, n_docs, DEFAULT).cache()
+    s3 = build_posting_shards(p_c, n_docs, DEFAULT).cache()
     tomb = stale_c.select(
         "term", "field", term_hash60_col("doc_id").alias("doc_key")
     )
 
+    fold1 = merge_posting_shards(s1, s2, n_docs, DEFAULT).cache()
+    fold1.count()
     folded = merge_posting_shards(
-        merge_posting_shards(s1, s2, n_docs, DEFAULT),
-        s3, n_docs, DEFAULT, delete_postings=tomb,
+        fold1, s3, n_docs, DEFAULT, delete_postings=tomb,
     )
     scratch = build_posting_shards(postings, n_docs, DEFAULT)
     assert _decoded_set(spark, folded) == _decoded_set(spark, scratch)
-    postings.unpersist()
+    for df_ in (postings, s1, s2, s3, fold1):
+        df_.unpersist()
+
+
+def test_query_over_unmerged_segments(spark, corpus_small, index_small):
+    """LSM read path: an append-only delta segment serves BEFORE
+    compaction — WAND over the UNION of segment frames equals WAND over
+    the merged shards (segments are doc-disjoint, so no posting is
+    double-counted; the skip planner handles multiple block rows per
+    (term, field, salt) conservatively). This is what lets compaction be
+    deferred/amortized while the delta is already queryable."""
+    from spaghettisearch_spark.functions.tokenize import parse_query
+    from spaghettisearch_spark.operators.wand import (
+        build_doc_map,
+        wand_topk_from_shards,
+    )
+
+    n_docs = corpus_small.count()
+    postings = index_small.postings.withColumn(
+        "weight", F.col("bm25_weight")
+    ).select("term", "field", "doc_id", "tf", "positions", "weight").cache()
+    seg = F.pmod(F.xxhash64("doc_id"), F.lit(5))
+    base = build_posting_shards(postings.filter(seg != 0), n_docs, DEFAULT).cache()
+    delta = build_posting_shards(postings.filter(seg == 0), n_docs, DEFAULT).cache()
+    merged = merge_posting_shards(base, delta, n_docs, DEFAULT).cache()
+    doc_map = build_doc_map(corpus_small).cache()
+    union = base.unionByName(delta)
+    for query in ["parse buffer flush", "dispatch"]:
+        terms, _ = parse_query(query)
+        a = wand_topk_from_shards(
+            spark, union, doc_map, terms, DEFAULT, k=15
+        ).collect()
+        b = wand_topk_from_shards(
+            spark, merged, doc_map, terms, DEFAULT, k=15
+        ).collect()
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b], query
+        for x, y in zip(a, b):
+            assert x["score"] == pytest.approx(y["score"], rel=1e-9)
+    for df_ in (postings, base, delta, merged, doc_map):
+        df_.unpersist()
 
 
 def test_extend_doc_dim_append_only(spark, corpus_small):

@@ -187,6 +187,57 @@ def test_wand_shards_meta_cache(spark, corpus_small, index_small):
     shards.unpersist(); doc_map.unpersist()
 
 
+def test_wand_shards_pr_max_cached(spark, corpus_small, index_small):
+    """Blended shard queries cache the PageRank blend maximum alongside
+    the term metadata: the repeat-query path runs NO driver aggregation
+    on the pagerank frame (asserted by making .agg explode), and cached
+    == uncached == first-call results."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators.compression import build_posting_shards
+    from spaghettisearch_spark.operators.links import extract_links
+    from spaghettisearch_spark.operators.pagerank import compute_pagerank
+    from spaghettisearch_spark.operators.wand import (
+        _PR_MAX_KEY,
+        build_doc_map,
+        wand_topk_from_shards,
+    )
+
+    n_docs = corpus_small.count()
+    shards = build_posting_shards(
+        index_small.postings, n_docs, DEFAULT, weight_col="bm25_weight"
+    ).cache()
+    doc_map = build_doc_map(corpus_small).cache()
+    pr = compute_pagerank(spark, corpus_small, extract_links(corpus_small)).cache()
+    pr.count()
+    terms, _ = parse_query("parse buffer")
+
+    cache: dict = {}
+    uncached = wand_topk_from_shards(
+        spark, shards, doc_map, terms, DEFAULT, k=10, pagerank=pr
+    ).collect()
+    first = wand_topk_from_shards(
+        spark, shards, doc_map, terms, DEFAULT, k=10, pagerank=pr,
+        meta_cache=cache,
+    ).collect()
+    assert _PR_MAX_KEY in cache
+
+    def _boom(*_a, **_k):
+        raise AssertionError("repeat blended query ran a driver aggregation")
+
+    pr.agg = _boom  # instance attr shadows the method
+    try:
+        again = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=10, pagerank=pr,
+            meta_cache=cache,
+        ).collect()
+    finally:
+        del pr.agg
+    assert [r["doc_id"] for r in first] == [r["doc_id"] for r in uncached]
+    assert first == again
+    shards.unpersist(); doc_map.unpersist(); pr.unpersist()
+
+
 def test_block_skip_before_decode(spark):
     """Skip planner: on a skewed fixture (a hot term whose salted blocks
     have very different max weights), the shard path decodes FEWER blocks
@@ -194,7 +245,7 @@ def test_block_skip_before_decode(spark):
     docs carry raresig(10.0) + hotterm(5.0); the rest of the hot-salt-0
     docs carry hotterm(4.0); every other salt group carries ~0 weight —
     so the threshold (435 = the strong docs' full blended score, fully
-    visible in the two blocks' top-8 samples) provably beats every other
+    visible in the two blocks' top-N samples) provably beats every other
     hot block's upper bound (290.029)."""
     from spaghettisearch_spark.functions.hashing import term_hash60_py
     from spaghettisearch_spark.operators import wand as wand_mod
