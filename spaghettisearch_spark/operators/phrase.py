@@ -66,7 +66,10 @@ def phrase_matches_from_shards(
     if "shard" in shards.columns:
         shard_ids = sorted({term_hash60_py(t) % cfg.n_shards for t in set(phrase)})
         pruned = pruned.filter(F.col("shard").isin(shard_ids))
-    decoded = decode_shards(pruned).join(doc_map, "doc_key")
+    # phrase matching needs positions + weights but never tf
+    decoded = decode_shards(pruned, fields=("weight", "positions")).join(
+        doc_map, "doc_key"
+    )
     hits = decoded.select(
         "term", "field", "doc_id", "positions", F.col("weight").alias("contrib")
     )

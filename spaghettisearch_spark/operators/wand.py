@@ -568,7 +568,9 @@ def wand_topk_from_shards(
                 ).isin(keep_keys)
             )
 
-    decoded = decode_shards(pruned)  # term, field, doc_key, tf, weight, positions
+    # term-bag scoring needs ONLY the precomputed impact weights: skip
+    # the tf/positions varbyte decode and their Arrow transfer entirely
+    decoded = decode_shards(pruned, fields=("weight",))
     qdf = spark.createDataFrame(
         [(t, i, float(counts[t])) for i, t in enumerate(term_list)],
         "term string, qterm_id int, qtf double",
