@@ -178,7 +178,7 @@ def _engine_shards(spark: SparkSession, sf_dir: str):
         stale_raw = ingest(raw).withColumn(
             "content",
             F.when(
-                F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0,
+                stale_pred,
                 F.concat(F.col("content"), F.lit(" zzstaleterm zzstaleterm")),
             ).otherwise(F.col("content")),
         ).select("repo", "path", "commit", "lang", "content")

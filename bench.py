@@ -244,6 +244,21 @@ def main() -> None:
         spark, shards, doc_map, wand_terms, cfg, k=50, dense_keys=True,
         meta_cache=shard_meta,
     )
+    # the same query against PARQUET-backed shards partitioned by shard id
+    # (the warehouse layout): measures the real cold path — partition-
+    # pruned scan + column-pruned metadata + weight-only decode off disk,
+    # not a cached in-memory frame
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    _shard_dir = _tempfile.mkdtemp(prefix="bench_shards_")
+    shards.write.mode("overwrite").partitionBy("shard").parquet(_shard_dir)
+    shards_pq = spark.read.parquet(_shard_dir)
+    shard_meta_pq: dict = {}
+    qset["q_wand_shards_parquet"] = lambda: wand_topk_from_shards(
+        spark, shards_pq, doc_map, wand_terms, cfg, k=50, dense_keys=True,
+        meta_cache=shard_meta_pq,
+    )
     # hard gate: the WAND paths must return the same ranking as the
     # exhaustive path for the same bag — catches term-vocabulary
     # mismatches (raw vs stemmed) that would otherwise just make the
@@ -257,6 +272,10 @@ def main() -> None:
         wand_topk_from_shards(
             spark, shards, doc_map, wand_terms, cfg, k=50, dense_keys=True,
             meta_cache=shard_meta,
+        ),
+        wand_topk_from_shards(
+            spark, shards_pq, doc_map, wand_terms, cfg, k=50, dense_keys=True,
+            meta_cache=shard_meta_pq,
         ),
     ):
         got = [r["doc_id"] for r in q.collect()]
@@ -276,6 +295,8 @@ def main() -> None:
         timings[name] = round(min(times), 4)
         lat_ms.extend(t * 1000 for t in times)
         min_ms.append(min(times) * 1000)
+
+    _shutil.rmtree(_shard_dir, ignore_errors=True)
 
     # ---- training-data ops ----
     from spaghettisearch_spark.functions.tokenize import tokenize_col
@@ -452,6 +473,27 @@ def main() -> None:
         ).count()
 
     timings["zipf_segment_append_10pct"] = best_of(run_zipf_append)
+
+    # stats-refresh compaction: the 90% base's block-encoded dfs lag the
+    # full-corpus term_stats by ~10% — refresh re-weights only the
+    # drifted groups (decode-touched-only, untouched blocks pass through
+    # undecoded). Read against zipf_shard_build: the cost of repairing
+    # weight staleness without a pipeline rebuild.
+    from spaghettisearch_spark.operators.compression import (
+        key_doc_stats,
+        refresh_shard_stats,
+    )
+
+    _dsk = key_doc_stats(zidx.doc_stats, zdim).cache()
+    _dsk.count()
+    _zstats_rows = zidx.corpus_stats.collect()
+    timings["zipf_stats_refresh"] = best_of(
+        lambda: refresh_shard_stats(
+            zbase, zidx.term_stats, _dsk, _zstats_rows, zcfg,
+            drift_threshold=0.05,
+        ).count()
+    )
+    _dsk.unpersist()
 
     zdelta = build_posting_shards(
         zidx.postings.filter(zseg == 0), zn, zcfg,

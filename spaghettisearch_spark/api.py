@@ -115,7 +115,9 @@ class SearchEngine:
             topk = F.broadcast(topk).join(
                 self.corpus.select("doc_id", "content"), "doc_id"
             )
-            topk = with_snippets(topk, "content", terms, phrases).drop("content")
+            topk = with_snippets(
+                topk, "content", terms, phrases, stem=self.cfg.stem
+            ).drop("content")
             topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return topk
 

@@ -659,7 +659,9 @@ def refresh_shard_stats(
     untouched = shards.join(drifted, ["term", "field"], "left_anti")
     touched = shards.join(drifted, ["term", "field"], "left_semi")
 
-    rows = decode_shards(touched)
+    # stale weights are re-derived, not read: skip their decode + Arrow
+    # transfer (and let parquet prune the weights column off the scan)
+    rows = decode_shards(touched, fields=("tf", "positions"))
     n_docs = int(corpus_stats_rows[0]["n_docs"])
     contrib = None
     for r in corpus_stats_rows:
@@ -670,8 +672,7 @@ def refresh_shard_stats(
             else contrib.when(F.col("field") == r["field"], c)
         )
     reweighted = (
-        rows.drop("weight")
-        .join(F.broadcast(term_stats), ["term", "field"])
+        rows.join(F.broadcast(term_stats), ["term", "field"])
         .join(doc_stats_keyed, ["doc_key", "field"])
         .withColumn("weight", contrib)
         .select("term", "field", "doc_key", "tf", "positions", "weight")

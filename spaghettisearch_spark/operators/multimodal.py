@@ -6,9 +6,10 @@ so payload bytes never round-trip through Python row-by-row. PNG images
 decode for REAL through a built-in pure-stdlib codec (decode_png: zlib
 inflate + all five scanline unfilters, 8-bit gray/GA/RGB/RGBA), with an
 encoder inverse (encode_png) for deterministic synthetic bitmaps —
-round-trip and per-filter gated in tests/test_multimodal.py. Other
-formats (JPEG, audio) use PIL/soundfile when importable and otherwise
-raise the honest NotImplementedError; fake_decode remains the
+round-trip and per-filter gated in tests/test_streaming.py. Other image
+formats (JPEG, …) go through PIL when importable and otherwise raise
+the honest NotImplementedError; audio/video codecs are not wired
+(undecodable payloads raise, never fake); fake_decode remains the
 hash-derived stand-in for plumbing tests.
 
 Scale notes: binary payloads dominate row size, so feature extraction
@@ -239,25 +240,29 @@ def png_features(pixels: np.ndarray) -> np.ndarray:
 
 def real_decode(payload: bytes):
     """Real decode slot: PNG bytes decode through the built-in
-    pure-stdlib codec (decode_png); other formats use PIL/soundfile when
-    importable and otherwise raise the honest NotImplementedError."""
+    pure-stdlib codec (decode_png); other image formats go through PIL
+    when importable and otherwise raise the honest NotImplementedError.
+    Audio/video payloads have no codec wired — they surface as
+    ValueError (undecodable), never a silent fake."""
     if payload[:8] == PNG_MAGIC:
         px = decode_png(payload)
         h, w, _ch = px.shape
         return w, h, 1, png_features(px)
-    try:  # pragma: no cover - env without media libs
-        from PIL import Image
+    try:
+        from PIL import Image  # noqa: F401
         import io
-
-        img = Image.open(io.BytesIO(payload)).convert("RGB")
-        px = np.asarray(img, dtype=np.uint8)
-        return img.width, img.height, 1, png_features(px)
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG media decoding requires PIL/soundfile; not present "
-            "in this environment — PNG decodes natively, other formats "
-            "need codecs installed"
+            "non-PNG image decoding requires PIL; not present in this "
+            "environment — PNG decodes natively, other formats need "
+            "codecs installed"
         ) from e
+    try:  # pragma: no cover - env without media libs
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+    except Exception as e:
+        raise ValueError(f"payload not decodable as an image: {e}") from e
+    px = np.asarray(img, dtype=np.uint8)
+    return img.width, img.height, 1, png_features(px)
 
 
 def extract_media_features(

@@ -265,3 +265,28 @@ def test_resort_restores_doc_id_tie_break(spark):
     assert old == new
     for df_ in (corpus1, corpus_full, dim0, dim_ext, shards, new_dim, new_shards):
         df_.unpersist()
+
+
+def test_zipf_corpus_deterministic_across_parallelism(spark):
+    """make_zipf_documents is a pure function of its arguments: the same
+    (n, vocab, seed) yields byte-identical text at different partition
+    counts (per-doc RNG keyed off (seed, doc_id), not off partition)."""
+    from spaghettisearch_spark.fixtures import make_zipf_documents
+
+    a = {
+        r["doc_id"]: r["text"]
+        for r in make_zipf_documents(spark, 60, vocab_size=500).collect()
+    }
+    b = {
+        r["doc_id"]: r["text"]
+        for r in make_zipf_documents(spark, 60, vocab_size=500)
+        .coalesce(1)
+        .collect()
+    }
+    assert a == b and len(a) == 60
+    # heavy-tailed: the top term is much more frequent than the median
+    from collections import Counter
+
+    c = Counter(t for txt in a.values() for t in txt.split())
+    freqs = sorted(c.values(), reverse=True)
+    assert freqs[0] > 20 * freqs[len(freqs) // 2]

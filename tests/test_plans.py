@@ -196,4 +196,16 @@ def test_shard_scan_partition_prunes(spark, corpus_small, index_small, tmp_path)
     assert re.search(
         r"PushedFilters:.*(In|EqualTo)\(term", plan
     ), "term filter not pushed"
+    # fields=("weight",) decode (the term-bag path): the position streams
+    # and tfs must be pruned OFF the parquet scan — a term query never
+    # reads them (README "non-phrase queries never read the positions
+    # column", now enforced at the shard layout too)
+    scan_lines = [
+        l for l in plan.splitlines() if "ReadSchema" in l
+    ]
+    assert scan_lines, "no ReadSchema in plan"
+    for l in scan_lines:
+        assert "positions" not in l and "pos_lens" not in l and "tfs" not in l, (
+            "term-bag shard scan reads unneeded payload streams:\n" + l
+        )
     doc_dim.unpersist()
