@@ -406,10 +406,10 @@ def main() -> None:
     hot_bag = ["zw00000", "zw00001", "zw00002"]
     mid_bag = ["zw00000", "zw00150", "zw02500"]
 
-    def zq(bag, meta=zmeta, sh=None):
+    def zq(bag, meta=zmeta, sh=None, two_phase=False):
         return wand_topk_from_shards(
             spark, sh if sh is not None else zshards, zmap, bag, zcfg,
-            k=50, dense_keys=True, meta_cache=meta,
+            k=50, dense_keys=True, meta_cache=meta, two_phase=two_phase,
         )
 
     # hard exactness gate before timing anything
@@ -429,6 +429,20 @@ def main() -> None:
         )
         # blocks the skip planner kept vs saw on the LAST run of this bag
         skip_stats[f"zipf_{name}"] = dict(wand_mod.LAST_SKIP_STATS)
+    # two-phase planner: wave-1 exact partials floor the threshold — the
+    # variant that makes MULTI-term bags skip (single-phase keeps ~all
+    # their blocks; see skip_stats). Exactness gated above's way too.
+    got_2p = [r["doc_id"] for r in zq(hot_bag, two_phase=True).collect()]
+    exh_hot = [
+        r["doc_id"]
+        for r in search(spark, zidx, " ".join(hot_bag), zcfg, k=50).collect()
+    ]
+    assert got_2p == exh_hot, "two-phase zipf WAND != exhaustive"
+    timings["zipf_q_wand_shards_hot_2phase"] = best_of(
+        lambda: zq(hot_bag, two_phase=True).collect(), n=reps
+    )
+    skip_stats["zipf_hot_2phase"] = dict(wand_mod.LAST_SKIP_STATS)
+
     timings["zipf_q_exhaustive_hot"] = best_of(
         lambda: search(spark, zidx, " ".join(hot_bag), zcfg, k=50).collect(),
         n=reps,

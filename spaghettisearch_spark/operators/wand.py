@@ -391,6 +391,7 @@ def select_blocks(
     qtf: dict[str, float],
     k: int,
     extra_ub: float = 0.0,
+    min_threshold: float | None = None,
 ) -> set[tuple[str, str, int]]:
     """Block-max skip planner (driver-side, pure): given undecoded block
     metadata rows (term, field, salt, max_weight, top_doc_keys,
@@ -424,8 +425,17 @@ def select_blocks(
         for dk, w in zip(r["top_doc_keys"] or [], r["top_weights"] or []):
             partials[dk] = partials.get(dk, 0.0) + float(w) * f
     if len(partials) < k:
-        return {(r["term"], r["field"], int(r["salt"])) for r in meta_rows}
-    threshold = sorted(partials.values(), reverse=True)[k - 1]
+        if min_threshold is None:
+            return {(r["term"], r["field"], int(r["salt"])) for r in meta_rows}
+        threshold = min_threshold
+    else:
+        threshold = sorted(partials.values(), reverse=True)[k - 1]
+        # an externally supplied EXACT lower bound (the two-phase
+        # planner's k-th wave-1 partial score) can only tighten the
+        # sample-derived threshold — both are lower bounds on the true
+        # k-th score, so max() preserves admissibility
+        if min_threshold is not None and min_threshold > threshold:
+            threshold = min_threshold
     sum_ub = sum(group_ub.values()) + extra_ub
     keep: set[tuple[str, str, int]] = set()
     for r in meta_rows:
@@ -452,9 +462,23 @@ def wand_topk_from_shards(
     kernel: str = "taat",
     dense_keys: bool = False,
     meta_cache: dict | None = None,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Exact top-k straight from the compressed posting shards: pruned
     shard scan -> varbyte decode (mapInPandas) -> block-max WAND.
+
+    ``two_phase=True`` refines the skip threshold with one extra
+    distributed round: decode ONLY the highest-impact block of each
+    (term, field), score those postings exactly, and use the k-th best
+    partial score — an exact lower bound on the true k-th result — as a
+    floor for the planner threshold. Multi-term bags skip little under
+    the sample-derived threshold (the admissible cross-term bound needs
+    a tight k-th estimate to bite); the wave-1 partials capture
+    cross-term sums for the high-impact docs and tighten it. Costs one
+    extra job per query (~fixed local overhead), so it's opt-in: right
+    for long posting lists at scale, wrong for latency-bound tiny
+    corpora. Exactness argument is select_blocks', unchanged: both
+    thresholds are lower bounds on the true k-th score.
 
     This is the north-rule query path at scale: the scan touches only
     the |terms| shard partitions (``shard = hash60(term) % n_shards``
@@ -555,9 +579,55 @@ def wand_topk_from_shards(
                 if meta_cache is not None:
                     meta_cache[_PR_MAX_KEY] = pr_max
             extra_ub = cfg.w_pagerank * cfg.blend_scale * float(pr_max or 0.0)
-        keep = select_blocks(
-            meta, cfg, {t: float(counts[t]) for t in term_list}, k, extra_ub
-        )
+        qtf_map = {t: float(counts[t]) for t in term_list}
+        keep = select_blocks(meta, cfg, qtf_map, k, extra_ub)
+        if two_phase and meta:
+            # wave 1: the single highest-impact block per (term, field)
+            best: dict[tuple[str, str], tuple[float, int]] = {}
+            for r in meta:
+                key = (r["term"], r["field"])
+                if key not in best or float(r["max_weight"]) > best[key][0]:
+                    best[key] = (float(r["max_weight"]), int(r["salt"]))
+            w1_keys = [
+                f"{t}\x01{f}\x01{s}"
+                for (t, f), (_w, s) in sorted(best.items())
+            ]
+            qdf1 = spark.createDataFrame(
+                [(t, qtf_map[t]) for t in term_list], "term string, qtf double"
+            )
+            fw1 = (
+                F.when(F.col("field") == FIELD_TITLE, F.lit(cfg.w_title))
+                .when(F.col("field") == FIELD_BODY, F.lit(cfg.w_body))
+                .otherwise(F.lit(0.0))
+            )
+            d1 = decode_shards(
+                pruned.filter(
+                    F.concat_ws(
+                        "\x01", "term", "field", F.col("salt").cast("string")
+                    ).isin(w1_keys)
+                ),
+                fields=("weight",),
+            )
+            rows1 = (
+                d1.join(F.broadcast(qdf1), "term")
+                .groupBy("doc_key")
+                .agg(
+                    F.sum(
+                        fw1 * F.col("weight") * F.col("qtf")
+                        * F.lit(cfg.blend_scale)
+                    ).alias("s")
+                )
+                .orderBy(F.desc("s"))
+                .limit(k)
+                .collect()
+            )
+            if len(rows1) == k:
+                # exact partial scores are lower bounds (PR and undecoded
+                # blocks only add non-negative mass)
+                keep = select_blocks(
+                    meta, cfg, qtf_map, k, extra_ub,
+                    min_threshold=float(rows1[-1]["s"]),
+                )
         LAST_SKIP_STATS["total"] = len(meta)
         LAST_SKIP_STATS["kept"] = len(keep)
         if len(keep) < len(meta):

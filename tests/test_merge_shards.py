@@ -229,6 +229,84 @@ def test_query_over_unmerged_segments(spark, corpus_small, index_small):
         df_.unpersist()
 
 
+def test_recrawl_chain_equals_scratch(spark, corpus_small, index_small):
+    """The composed incremental path (the reference's checkAndUpdate
+    analog, indexer.go:420-641): a base index holding STALE versions of
+    ~20% of docs (perturbed content incl. a vanished term) is repaired
+    by diff_corpus (sha256 staleness) -> fresh-delta build -> tombstoned
+    merge, and must equal the one-shot build of the true corpus. Mirrors
+    the driver's _engine_shards construction with dense keys."""
+    from spaghettisearch_spark.operators.compression import build_doc_dim
+    from spaghettisearch_spark.operators.incremental import diff_corpus
+    from spaghettisearch_spark.operators.index_build import (
+        build_postings,
+        tokenize_fields,
+    )
+    from spaghettisearch_spark.sources.corpus import ingest
+
+    n_docs = corpus_small.count()
+    doc_dim = build_doc_dim(corpus_small).cache()
+    raw = corpus_small.select("repo", "path", "commit", "lang", "content")
+    stale_pred = F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0
+    changed_ids = corpus_small.filter(stale_pred).select("doc_id").cache()
+    assert 0 < changed_ids.count() < n_docs
+    stale_raw = ingest(raw).withColumn(
+        "content",
+        F.when(
+            stale_pred,
+            F.concat(F.col("content"), F.lit(" zzstaleterm zzstaleterm")),
+        ).otherwise(F.col("content")),
+    ).select("repo", "path", "commit", "lang", "content")
+    stale_corpus = ingest(stale_raw).cache()
+    stale_postings = build_postings(
+        tokenize_fields(stale_corpus.join(changed_ids, "doc_id", "left_semi"))
+    ).withColumn("weight", F.lit(1.0)).cache()
+    true_keep = (
+        index_small.postings.join(changed_ids, "doc_id", "left_anti")
+        .withColumn("weight", F.col("bm25_weight"))
+        .select("term", "field", "doc_id", "tf", "positions", "weight")
+    )
+    base = build_posting_shards(
+        true_keep.unionByName(
+            stale_postings.select(
+                "term", "field", "doc_id", "tf", "positions", "weight"
+            )
+        ),
+        n_docs, DEFAULT, doc_dim=doc_dim,
+    ).cache()
+    assert base.filter(F.col("term") == "zzstaleterm").count() > 0
+
+    # --- the re-crawl batch arrives: the true docs ---
+    changed = diff_corpus(stale_corpus, raw).cache()
+    assert (
+        {r["doc_id"] for r in changed.select("doc_id").collect()}
+        == {r["doc_id"] for r in changed_ids.collect()}
+    )
+    delta = build_posting_shards(
+        index_small.postings
+        .join(changed.select("doc_id"), "doc_id", "left_semi")
+        .withColumn("weight", F.col("bm25_weight"))
+        .select("term", "field", "doc_id", "tf", "positions", "weight"),
+        n_docs, DEFAULT, doc_dim=doc_dim,
+    ).cache()
+    tombstones = stale_postings.join(doc_dim, "doc_id").select(
+        "term", "field", F.col("doc_idx").alias("doc_key")
+    )
+    merged = merge_posting_shards(
+        base, delta, n_docs, DEFAULT, delete_postings=tombstones
+    )
+    scratch = build_posting_shards(
+        index_small.postings.withColumn("weight", F.col("bm25_weight"))
+        .select("term", "field", "doc_id", "tf", "positions", "weight"),
+        n_docs, DEFAULT, doc_dim=doc_dim,
+    )
+    assert _decoded_set(spark, merged) == _decoded_set(spark, scratch)
+    assert merged.filter(F.col("term") == "zzstaleterm").count() == 0
+    for df_ in (doc_dim, changed_ids, stale_corpus, stale_postings, base,
+                changed, delta):
+        df_.unpersist()
+
+
 def test_extend_doc_dim_append_only(spark, corpus_small):
     half = corpus_small.limit(corpus_small.count() // 2).cache()
     dim0 = build_doc_dim(half).cache()

@@ -80,3 +80,61 @@ def test_shard_roundtrip_spark(spark, corpus_tiny):
         (F.col("term") == HOT_TERMS[0]) & (F.col("field") == "body")
     ).count()
     assert hot_blocks > 1
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),          # term id
+            st.integers(min_value=0, max_value=60),         # doc number
+            st.integers(min_value=1, max_value=7),          # tf
+            st.lists(                                       # positions
+                st.integers(min_value=0, max_value=5000),
+                max_size=6,
+            ),
+            st.floats(
+                min_value=0.001, max_value=50.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_shard_roundtrip_property(spark, postings_spec):
+    """Property: build_posting_shards ∘ decode_shards is the identity on
+    arbitrary posting sets — random term/doc/tf/positions/weight combos,
+    including empty position lists, duplicate (term, doc) rows collapsed
+    to one (the builder's input contract), and weight ties that push
+    groups onto the hash-salt fallback."""
+    from spaghettisearch_spark.config import DEFAULT
+    from spaghettisearch_spark.functions.hashing import term_hash60_py
+    from spaghettisearch_spark.operators.compression import (
+        build_posting_shards,
+        decode_shards,
+    )
+
+    seen = {}
+    for t, d, tf, pos, w in postings_spec:
+        seen[(f"t{t}", f"doc{d:03d}")] = (tf, sorted(set(pos)), round(w, 6))
+    rows = [
+        (term, "body", doc, tf, pos, w)
+        for (term, doc), (tf, pos, w) in seen.items()
+    ]
+    pdf = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, weight double",
+    )
+    shards = build_posting_shards(pdf, 61, DEFAULT)
+    got = {
+        (r["term"], r["doc_key"], r["tf"], round(r["weight"], 6),
+         tuple(r["positions"]))
+        for r in decode_shards(shards).collect()
+    }
+    want = {
+        (term, term_hash60_py(doc), tf, w, tuple(pos))
+        for (term, doc), (tf, pos, w) in seen.items()
+    }
+    assert got == want

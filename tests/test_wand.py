@@ -238,6 +238,44 @@ def test_wand_shards_pr_max_cached(spark, corpus_small, index_small):
     shards.unpersist(); doc_map.unpersist(); pr.unpersist()
 
 
+def test_wand_two_phase_planner(spark, corpus_small, index_small):
+    """Two-phase skip planning (wave-1 exact partials as the threshold
+    floor) must stay EXACT — identical ranking and scores to the
+    single-phase and exhaustive paths — and can only tighten the kept
+    set (kept_2p <= kept_1p)."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.compression import build_posting_shards
+    from spaghettisearch_spark.operators.wand import (
+        build_doc_map,
+        wand_topk_from_shards,
+    )
+
+    n_docs = corpus_small.count()
+    shards = build_posting_shards(
+        index_small.postings, n_docs, DEFAULT, weight_col="bm25_weight"
+    ).cache()
+    doc_map = build_doc_map(corpus_small).cache()
+    for query in ["dispatch buffer kernel", "parse buffer", "dispatch"]:
+        terms, _ = parse_query(query)
+        want = _exhaustive(spark, index_small, query, 10)
+        one = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=10
+        ).collect()
+        kept_1p = wand_mod.LAST_SKIP_STATS["kept"]
+        two = wand_topk_from_shards(
+            spark, shards, doc_map, terms, DEFAULT, k=10, two_phase=True
+        ).collect()
+        kept_2p = wand_mod.LAST_SKIP_STATS["kept"]
+        assert [r["doc_id"] for r in two] == [r["doc_id"] for r in want], query
+        assert [r["doc_id"] for r in two] == [r["doc_id"] for r in one], query
+        for g, w in zip(two, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+        assert kept_2p <= kept_1p, (query, kept_2p, kept_1p)
+    shards.unpersist(); doc_map.unpersist()
+
+
 def test_block_skip_before_decode(spark):
     """Skip planner: on a skewed fixture (a hot term whose salted blocks
     have very different max weights), the shard path decodes FEWER blocks
