@@ -39,6 +39,12 @@ class SearchEngine:
     links: DataFrame | None = None
     # (doc_id, category, rank) from operators.topics.compute_topic_pagerank
     topic_pagerank: DataFrame | None = None
+    # compressed-warehouse serving backend (build(with_shards=True)):
+    # dense-keyed posting shards + (doc_key, doc_id) map + the per-term
+    # block-metadata cache a serving node keeps across queries
+    shards: DataFrame | None = None
+    doc_map: DataFrame | None = None
+    meta_cache: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -49,6 +55,7 @@ class SearchEngine:
         cfg: EngineConfig = DEFAULT,
         with_pagerank: bool = True,
         topics: DataFrame | None = None,
+        with_shards: bool = False,
     ) -> "SearchEngine":
         """One-call build from a raw (repo, path, commit, lang, content)
         frame — the reference's ./bin/crawl analog for a static corpus.
@@ -69,9 +76,27 @@ class SearchEngine:
             from .operators.topics import compute_topic_pagerank
 
             tpr = compute_topic_pagerank(spark, corpus, links, topics, cfg).cache()
+        shards = doc_map = None
+        if with_shards:
+            # warehouse-resident serving: dense-keyed compressed shards +
+            # deferred doc_id hydration (cfg must be bm25 — asserted at
+            # query time by the shard paths)
+            from .operators.compression import build_doc_dim, build_posting_shards
+
+            doc_dim = build_doc_dim(corpus).cache()
+            shards = build_posting_shards(
+                idx.postings, corpus.count(), cfg,
+                doc_dim=doc_dim, weight_col="bm25_weight",
+            ).cache()
+            shards.count()
+            doc_map = doc_dim.select(
+                F.col("doc_idx").alias("doc_key"), "doc_id"
+            ).cache()
+            doc_map.count()
+            doc_dim.unpersist()
         return cls(
             spark=spark, index=idx, cfg=cfg, pagerank=pr, corpus=corpus,
-            links=links, topic_pagerank=tpr,
+            links=links, topic_pagerank=tpr, shards=shards, doc_map=doc_map,
         )
 
     # ------------------------------------------------------------------
@@ -81,11 +106,16 @@ class SearchEngine:
         k: int | None = None,
         use_wand: bool = False,
         topic: str | None = None,
+        backend: str = "memory",
     ) -> DataFrame:
         """Top-k as a DataFrame (scores + metadata), snippets included
         when the corpus is attached. ``topic`` blends that category's
         PageRank vector instead of the global one (requires a build with
-        topics=...)."""
+        topics=...). ``backend="shards"`` serves the SAME query surface
+        (terms, phrases, PR/topic blend, wand, hydration, snippets) from
+        the compressed posting shards — the warehouse-resident path
+        (requires build(..., with_shards=True)); results are asserted
+        identical to the in-memory backend in test_api."""
         k = k or self.cfg.top_k
         terms, phrases = parse_query(q, self.cfg.remove_stopwords, self.cfg.stem)
         pr = self.pagerank
@@ -95,7 +125,29 @@ class SearchEngine:
             pr = self.topic_pagerank.filter(F.col("category") == topic).select(
                 "doc_id", "rank"
             )
-        if use_wand and not phrases and self.cfg.scorer == "bm25":
+        if backend == "shards":
+            if self.shards is None or self.doc_map is None:
+                raise ValueError(
+                    'backend="shards" requires a build(..., with_shards=True)'
+                )
+            if use_wand and not phrases and self.cfg.scorer == "bm25":
+                from .operators.wand import wand_topk_from_shards
+
+                topk = wand_topk_from_shards(
+                    self.spark, self.shards, self.doc_map, terms, self.cfg,
+                    k=k, pagerank=pr, dense_keys=True,
+                    meta_cache=self.meta_cache,
+                )
+                topk = F.broadcast(topk).join(self.index.doc_meta, "doc_id")
+                topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            else:
+                from .operators.bm25 import search_from_shards
+
+                topk = search_from_shards(
+                    self.spark, self.shards, self.doc_map, q, self.cfg,
+                    pagerank=pr, k=k, doc_meta=self.index.doc_meta,
+                )
+        elif use_wand and not phrases and self.cfg.scorer == "bm25":
             topk = wand_topk(
                 self.spark, self.index, terms, self.cfg, k=k, pagerank=pr
             )
@@ -127,11 +179,12 @@ class SearchEngine:
         k: int | None = None,
         use_wand: bool = False,
         topic: str | None = None,
+        backend: str = "memory",
     ) -> list[dict]:
         """Reference-JSON-shaped result cards (server.go:47-48 encodes
         []Rank_combined, incl. top-5 parents with their anchor terms and
         top-5 children — retrieval/util.go:56-92, get_metadata.go:237-266)."""
-        rows = self.query_df(q, k, use_wand, topic=topic).collect()
+        rows = self.query_df(q, k, use_wand, topic=topic, backend=backend).collect()
         family: dict = {}
         if self.links is not None and rows:
             from .operators.incremental import family_top5

@@ -121,6 +121,23 @@ def posting_hits(
     return hits
 
 
+def _pivot_field_ranks(parts: list[DataFrame]) -> DataFrame:
+    """(doc_id, field, contrib) parts -> (doc_id, title_rank, body_rank)."""
+    all_hits = parts[0]
+    for p in parts[1:]:
+        all_hits = all_hits.unionByName(p)
+    return (
+        all_hits.groupBy("doc_id")
+        .pivot("field", [FIELD_TITLE, FIELD_BODY])
+        .agg(F.sum("contrib"))
+        .select(
+            "doc_id",
+            F.coalesce(FIELD_TITLE, F.lit(0.0)).alias("title_rank"),
+            F.coalesce(FIELD_BODY, F.lit(0.0)).alias("body_rank"),
+        )
+    )
+
+
 def score_per_doc(
     spark: SparkSession,
     index: Index,
@@ -155,20 +172,7 @@ def score_per_doc(
             [], "doc_id string, title_rank double, body_rank double"
         )
 
-    all_hits = parts[0]
-    for p in parts[1:]:
-        all_hits = all_hits.unionByName(p)
-
-    scored = (
-        all_hits.groupBy("doc_id")
-        .pivot("field", [FIELD_TITLE, FIELD_BODY])
-        .agg(F.sum("contrib"))
-        .select(
-            "doc_id",
-            F.coalesce(FIELD_TITLE, F.lit(0.0)).alias("title_rank"),
-            F.coalesce(FIELD_BODY, F.lit(0.0)).alias("body_rank"),
-        )
-    )
+    scored = _pivot_field_ranks(parts)
 
     if cfg.scorer == "tfidf_cosine":
         # cosine normalization: rank /= magnitude * sqrt(|q|), NaN/null -> 0
@@ -231,7 +235,20 @@ def search(
         query, cfg.remove_stopwords, cfg.stem
     )
     scored = score_per_doc(spark, index, free_terms, phrase_lists, cfg)
+    return _blend_and_topk(
+        scored, cfg, pagerank, k, index.doc_meta if hydrate else None
+    )
 
+
+def _blend_and_topk(
+    scored: DataFrame,
+    cfg: EngineConfig,
+    pagerank: DataFrame | None,
+    k: int,
+    doc_meta: DataFrame | None = None,
+) -> DataFrame:
+    """Shared query tail: PR blend -> deterministic top-k -> optional
+    post-limit hydration."""
     if pagerank is not None:
         scored = scored.join(
             pagerank.select("doc_id", F.col("rank").alias("pr")), "doc_id", "left"
@@ -254,7 +271,7 @@ def search(
         ).alias("score"),
     )
     topk = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    if hydrate:
+    if doc_meta is not None:
         # metadata join AFTER the limit. INNER join with the k-row side
         # as the broadcast build side: Spark cannot build-left a
         # left-outer BroadcastHashJoin, so `broadcast(topk).join(meta,
@@ -263,6 +280,65 @@ def search(
         # scored doc_id comes from postings of an indexed doc, and
         # doc_meta has a row for every indexed doc (build_doc_meta
         # left-joins top_words onto the full corpus).
-        topk = F.broadcast(topk).join(index.doc_meta, "doc_id")
+        topk = F.broadcast(topk).join(doc_meta, "doc_id")
         topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk
+
+
+def search_from_shards(
+    spark: SparkSession,
+    shards: DataFrame,
+    doc_map: DataFrame,
+    query: str,
+    cfg: EngineConfig = DEFAULT,
+    pagerank: DataFrame | None = None,
+    k: int | None = None,
+    doc_meta: DataFrame | None = None,
+) -> DataFrame:
+    """The FULL query pipeline (free terms + phrases + field blend + PR
+    + hydration) served from the COMPRESSED posting shards — the
+    warehouse-resident serving path. Same semantics and (to float
+    associativity) same values as ``search`` on the in-memory index the
+    shards were built from; asserted in test_api.
+
+    BM25-only (blocks store precomputed impact weights; tfidf_cosine's
+    per-query normalization needs the in-memory path). Free terms decode
+    only the weight stream; phrases additionally decode positions.
+    ``doc_meta`` (when given) hydrates the top-k exactly like
+    ``search(hydrate=True)``.
+    """
+    from .compression import decode_shards, prune_shards
+    from .phrase import phrase_matches_from_shards
+
+    if cfg.scorer != "bm25":
+        raise ValueError(
+            "shard-backed serving requires bm25 impact weights; "
+            "tfidf_cosine needs the in-memory path"
+        )
+    k = k or cfg.top_k
+    free_terms, phrase_lists = parse_query(
+        query, cfg.remove_stopwords, cfg.stem
+    )
+    parts: list[DataFrame] = []
+    if free_terms:
+        qdf = _query_terms_df(spark, free_terms)
+        decoded = decode_shards(
+            prune_shards(shards, free_terms, cfg), fields=("weight",)
+        ).join(doc_map, "doc_key")
+        parts.append(
+            decoded.join(F.broadcast(qdf), "term").select(
+                "doc_id",
+                "field",
+                (F.col("weight") * F.col("qtf")).alias("contrib"),
+            )
+        )
+    for phrase in phrase_lists:
+        m = phrase_matches_from_shards(spark, shards, doc_map, phrase, cfg)
+        parts.append(m.select("doc_id", "field", "contrib"))
+    if not parts:
+        scored = spark.createDataFrame(
+            [], "doc_id string, title_rank double, body_rank double"
+        )
+    else:
+        scored = _pivot_field_ranks(parts)
+    return _blend_and_topk(scored, cfg, pagerank, k, doc_meta)

@@ -439,6 +439,21 @@ def decode_shards(
     return shards.select(*(need + extra)).mapInPandas(_decode, schema)
 
 
+def prune_shards(shards: DataFrame, terms: list[str], cfg: EngineConfig) -> DataFrame:
+    """Restrict a shard frame to the given terms' blocks: term filter
+    (parquet In pushdown) + driver-derived shard ids (partition pruning
+    on the partitionBy("shard") layout). The shared front of every
+    shard-backed query path."""
+    term_set = sorted(set(terms))
+    pruned = shards.filter(F.col("term").isin(term_set))
+    if "shard" in shards.columns:
+        from ..functions.hashing import term_hash60_py
+
+        ids = sorted({term_hash60_py(t) % cfg.n_shards for t in term_set})
+        pruned = pruned.filter(F.col("shard").isin(ids))
+    return pruned
+
+
 def build_doc_dim(corpus: DataFrame) -> DataFrame:
     """(doc_id, doc_idx) — dense, deterministic document index.
 

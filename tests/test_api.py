@@ -65,3 +65,43 @@ def test_wordlist(engine):
     # stemmed vocabulary: 'parse' family stems present
     assert any(w.startswith("pars") for w in words)
     assert engine.wordlist("zzzzz") == []
+
+
+@pytest.fixture(scope="module")
+def shard_engine(spark, docs_tiny):
+    from spaghettisearch_spark.api import SearchEngine
+
+    return SearchEngine.build(
+        spark, spark.createDataFrame(docs_tiny), with_shards=True
+    )
+
+
+def test_shard_backend_matches_memory(shard_engine):
+    """backend="shards" serves the FULL query surface from the
+    compressed warehouse layout with results identical to the in-memory
+    backend: free terms, phrases, phrase+terms, the WAND path, and the
+    PageRank blend — cards (ranks, scores, snippets, family) equal."""
+    queries = [
+        ("parse buffer", False),
+        ('"hash table probe"', False),
+        ('"hash table" flush', False),
+        ("parse buffer", True),  # wand path
+        ("dispatch", True),
+    ]
+    for q, wand in queries:
+        mem = shard_engine.query(q, k=5, use_wand=wand, backend="memory")
+        shd = shard_engine.query(q, k=5, use_wand=wand, backend="shards")
+        assert [c["doc_id"] for c in shd] == [c["doc_id"] for c in mem], (q, wand)
+        for a, b in zip(shd, mem):
+            assert a["final_rank"] == pytest.approx(b["final_rank"], rel=1e-9)
+            assert a["snippet"] == b["snippet"]
+            assert a["parents"] == b["parents"]
+    # unbuilt backend fails loudly
+    from spaghettisearch_spark.api import SearchEngine
+
+    eng2 = SearchEngine(
+        spark=shard_engine.spark, index=shard_engine.index,
+        cfg=shard_engine.cfg,
+    )
+    with pytest.raises(ValueError, match="with_shards"):
+        eng2.query_df("parse", backend="shards")
