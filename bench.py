@@ -429,9 +429,13 @@ def main() -> None:
         )
         # blocks the skip planner kept vs saw on the LAST run of this bag
         skip_stats[f"zipf_{name}"] = dict(wand_mod.LAST_SKIP_STATS)
-    # two-phase planner: wave-1 exact partials floor the threshold — the
-    # variant that makes MULTI-term bags skip (single-phase keeps ~all
-    # their blocks; see skip_stats). Exactness gated above's way too.
+    # two-phase planner: wave-1 exact partials floor the threshold.
+    # Measured effect on THIS corpus (see BASELINE.md): tightens
+    # single-term skipping; does NOT unlock multi-term skipping — the
+    # impact-ordered samples already make the single-phase threshold
+    # near-exact, and the cross-term bound is the binding constraint.
+    # Recorded so the trade (one extra job vs kept-block count) is a
+    # number, not a guess. Exactness hard-asserted before timing.
     got_2p = [r["doc_id"] for r in zq(hot_bag, two_phase=True).collect()]
     exh_hot = [
         r["doc_id"]

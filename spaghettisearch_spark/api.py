@@ -45,6 +45,12 @@ class SearchEngine:
     shards: DataFrame | None = None
     doc_map: DataFrame | None = None
     meta_cache: dict = field(default_factory=dict)
+    # per-topic metadata caches: the cached PR blend maximum inside a
+    # meta_cache is only valid for ONE pagerank vector, and each topic's
+    # filtered vector has its own maximum — sharing one cache across
+    # topics would reuse a stale pr_max and silently break skip-planner
+    # admissibility (wrong top-k), so each topic gets its own dict
+    _topic_meta_caches: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -125,41 +131,51 @@ class SearchEngine:
             pr = self.topic_pagerank.filter(F.col("category") == topic).select(
                 "doc_id", "rank"
             )
+        if backend not in ("memory", "shards"):
+            raise ValueError(f"unknown backend {backend!r}")
+        wandable = use_wand and not phrases and self.cfg.scorer == "bm25"
+        hydrated = False
         if backend == "shards":
             if self.shards is None or self.doc_map is None:
                 raise ValueError(
                     'backend="shards" requires a build(..., with_shards=True)'
                 )
-            if use_wand and not phrases and self.cfg.scorer == "bm25":
+            if wandable:
                 from .operators.wand import wand_topk_from_shards
 
+                cache = (
+                    self.meta_cache
+                    if topic is None
+                    else self._topic_meta_caches.setdefault(topic, {})
+                )
                 topk = wand_topk_from_shards(
                     self.spark, self.shards, self.doc_map, terms, self.cfg,
-                    k=k, pagerank=pr, dense_keys=True,
-                    meta_cache=self.meta_cache,
+                    k=k, pagerank=pr, dense_keys=True, meta_cache=cache,
                 )
-                topk = F.broadcast(topk).join(self.index.doc_meta, "doc_id")
-                topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
             else:
                 from .operators.bm25 import search_from_shards
 
                 topk = search_from_shards(
                     self.spark, self.shards, self.doc_map, q, self.cfg,
                     pagerank=pr, k=k, doc_meta=self.index.doc_meta,
+                    skip_key_check=True,  # build() made the pair itself
                 )
-        elif use_wand and not phrases and self.cfg.scorer == "bm25":
+                hydrated = True
+        elif wandable:
             topk = wand_topk(
                 self.spark, self.index, terms, self.cfg, k=k, pagerank=pr
             )
-            # inner broadcast-left join (see bm25.search hydrate note):
-            # a left join here planned SortMergeJoin over all of doc_meta
-            topk = F.broadcast(topk).join(self.index.doc_meta, "doc_id")
-            topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         else:
             topk = search(
                 self.spark, self.index, q, self.cfg,
                 pagerank=pr, k=k, hydrate=True,
             )
+            hydrated = True
+        if not hydrated:
+            # inner broadcast-left join (see bm25.search hydrate note):
+            # a left join here planned SortMergeJoin over all of doc_meta
+            topk = F.broadcast(topk).join(self.index.doc_meta, "doc_id")
+            topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         if self.corpus is not None:
             # broadcast build = the k-row side, stream = the corpus scan;
             # output follows the streamed side, so restore the total

@@ -294,12 +294,21 @@ def search_from_shards(
     pagerank: DataFrame | None = None,
     k: int | None = None,
     doc_meta: DataFrame | None = None,
+    skip_key_check: bool = False,
 ) -> DataFrame:
     """The FULL query pipeline (free terms + phrases + field blend + PR
     + hydration) served from the COMPRESSED posting shards — the
     warehouse-resident serving path. Same semantics and (to float
     associativity) same values as ``search`` on the in-memory index the
     shards were built from; asserted in test_api.
+
+    ``doc_map`` (doc_key long, doc_id string) must use the SAME key mode
+    the shards were built with — dense doc_idx (build_doc_dim) or 60-bit
+    hash keys (wand.build_doc_map). A mismatched pair joins nothing and
+    would silently return empty results, so a cheap two-probe guard
+    (one sampled key from each side; dense keys are < 2^44, hash keys
+    uniform in [0, 2^60)) raises loudly instead — ``skip_key_check=True``
+    for callers that constructed the pair themselves (SearchEngine).
 
     BM25-only (blocks store precomputed impact weights; tfidf_cosine's
     per-query normalization needs the in-memory path). Free terms decode
@@ -315,6 +324,25 @@ def search_from_shards(
             "shard-backed serving requires bm25 impact weights; "
             "tfidf_cosine needs the in-memory path"
         )
+    if not skip_key_check:
+        s_row = (
+            shards.select(F.element_at("top_doc_keys", 1).alias("k"))
+            .filter(F.col("k").isNotNull()).limit(1).collect()
+            if "top_doc_keys" in shards.columns
+            else []
+        )
+        m_row = doc_map.select("doc_key").limit(1).collect()
+        if s_row and m_row:
+            s_dense = int(s_row[0]["k"]) < (1 << 44)
+            m_dense = int(m_row[0]["doc_key"]) < (1 << 44)
+            if s_dense != m_dense:
+                raise ValueError(
+                    "shards and doc_map use different doc_key modes "
+                    f"(shards {'dense' if s_dense else 'hash'}, doc_map "
+                    f"{'dense' if m_dense else 'hash'}) — the join would "
+                    "silently match nothing; build both with the same "
+                    "doc_dim, or both with hash keys"
+                )
     k = k or cfg.top_k
     free_terms, phrase_lists = parse_query(
         query, cfg.remove_stopwords, cfg.stem

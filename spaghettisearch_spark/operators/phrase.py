@@ -59,13 +59,9 @@ def phrase_matches_from_shards(
     """Phrase matching straight off the compressed shards: pruned scan ->
     varbyte position decode -> offset-adjust -> intersect. ``contrib`` is
     the stored impact weight (bm25 path)."""
-    from ..functions.hashing import term_hash60_py
-    from .compression import decode_shards
+    from .compression import decode_shards, prune_shards
 
-    pruned = shards.filter(F.col("term").isin(sorted(set(phrase))))
-    if "shard" in shards.columns:
-        shard_ids = sorted({term_hash60_py(t) % cfg.n_shards for t in set(phrase)})
-        pruned = pruned.filter(F.col("shard").isin(shard_ids))
+    pruned = prune_shards(shards, list(set(phrase)), cfg)
     # phrase matching needs positions + weights but never tf
     decoded = decode_shards(pruned, fields=("weight", "positions")).join(
         doc_map, "doc_key"

@@ -512,8 +512,7 @@ def wand_topk_from_shards(
     """
     from collections import Counter
 
-    from ..functions.hashing import term_hash60_py
-    from .compression import decode_shards
+    from .compression import decode_shards, prune_shards
 
     if cfg.scorer != "bm25":
         raise ValueError("shard-backed WAND requires bm25 impact weights")
@@ -535,10 +534,7 @@ def wand_topk_from_shards(
             "this shards frame lacks them"
         )
     term_list = sorted(counts)
-    shard_ids = sorted({term_hash60_py(t) % cfg.n_shards for t in term_list})
-    pruned = shards.filter(F.col("term").isin(term_list))
-    if "shard" in shards.columns:
-        pruned = pruned.filter(F.col("shard").isin(shard_ids))
+    pruned = prune_shards(shards, term_list, cfg)
 
     meta = None
     if "top_weights" in pruned.columns:
@@ -555,12 +551,7 @@ def wand_topk_from_shards(
         else:
             missing = [t for t in term_list if t not in meta_cache]
             if missing:
-                m_pruned = shards.filter(F.col("term").isin(missing))
-                if "shard" in shards.columns:
-                    m_ids = sorted(
-                        {term_hash60_py(t) % cfg.n_shards for t in missing}
-                    )
-                    m_pruned = m_pruned.filter(F.col("shard").isin(m_ids))
+                m_pruned = prune_shards(shards, missing, cfg)
                 fetched: dict[str, list] = {t: [] for t in missing}
                 for r in m_pruned.select(*meta_cols).collect():
                     fetched[r["term"]].append(r)

@@ -123,3 +123,66 @@ def test_engine_facade_topic_query(spark):
     assert {c["doc_id"] for c in cards} == {ids["x"], ids["y"]}
     with pytest.raises(ValueError):
         SearchEngine(spark=spark, index=eng.index).query_df("needle", topic="nope")
+
+
+def test_engine_topic_query_shards_backend(spark):
+    """Topic blending on the SHARDS backend with use_wand: each topic's
+    PR vector has its own blend maximum, so the skip-planner cache must
+    be per-topic (a shared cache reused a stale pr_max and could
+    silently skip blocks that the bigger topic vector can still lift
+    into the top-k). Cards must match the memory backend per topic,
+    interleaved so cache reuse across topics would be exposed."""
+    from spaghettisearch_spark.api import SearchEngine
+    from spaghettisearch_spark.operators.wand import _PR_MAX_KEY
+
+    corpus, links, ids = _mini_corpus(spark)
+    raw = corpus.select("repo", "path", "commit", "lang", "content")
+    topics = corpus.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id").isin([ids["x"], ids["y"]]), F.lit("small")
+        ).otherwise(F.lit("big")).alias("category"),
+    )
+    eng = SearchEngine.build(
+        spark, raw, DEFAULT, with_pagerank=True, topics=topics,
+        with_shards=True,
+    )
+    for topic in ("small", "big", "small", None, "big"):
+        mem = eng.query("needle", k=3, use_wand=True, topic=topic,
+                        backend="memory")
+        shd = eng.query("needle", k=3, use_wand=True, topic=topic,
+                        backend="shards")
+        assert [c["doc_id"] for c in shd] == [c["doc_id"] for c in mem], topic
+        for a, b in zip(shd, mem):
+            assert a["final_rank"] == pytest.approx(b["final_rank"], rel=1e-9)
+    # each topic holds its own cache (its own pr_max slot); the global
+    # one is separate — on this fixture the VALUES happen to coincide
+    # (uniform per-category PR), the isolation is what matters
+    assert _PR_MAX_KEY in eng.meta_cache
+    for t in ("small", "big"):
+        assert _PR_MAX_KEY in eng._topic_meta_caches[t]
+    assert eng._topic_meta_caches["small"] is not eng._topic_meta_caches["big"]
+    assert eng._topic_meta_caches["small"] is not eng.meta_cache
+
+
+def test_search_from_shards_key_mode_guard(spark, corpus_small, index_small):
+    """Mismatched shards/doc_map key modes must raise, not silently
+    return empty results (the guard wand_topk_from_shards already has,
+    extended to the exhaustive serving path)."""
+    from spaghettisearch_spark.operators.bm25 import search_from_shards
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+    )
+
+    n_docs = corpus_small.count()
+    hash_shards = build_posting_shards(
+        index_small.postings, n_docs, DEFAULT, weight_col="bm25_weight"
+    )
+    dense_map = build_doc_dim(corpus_small).select(
+        F.col("doc_idx").alias("doc_key"), "doc_id"
+    )
+    with pytest.raises(ValueError, match="doc_key modes"):
+        search_from_shards(
+            spark, hash_shards, dense_map, "parse", DEFAULT, k=5
+        ).collect()
