@@ -1496,10 +1496,21 @@ ORDER BY revenue_e2 DESC, l_orderkey ASC
 LIMIT 10
 """
     snippet_terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    # RE2's \\s is ASCII-only while the Spark UDF's str.split() breaks on
+    # Unicode whitespace (incl. NBSP and the \\x1c-\\x1f separators) —
+    # normalize every such codepoint to a plain space BEFORE the split so
+    # both sides see identical token boundaries on any corpus
+    _uws = (
+        "[\\x1c-\\x1f\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}"
+        "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
+    )
     sqls["snippets"] = f"""
 WITH w AS (
   SELECT md5(source || '/' || CAST(doc_id AS VARCHAR)) AS did,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+         list_filter(
+           regexp_split_to_array(
+             regexp_replace(text, '{_uws}', ' ', 'g'), '\\s+'),
+           x -> x <> '') AS words
   FROM documents
 ),
 n AS (

@@ -44,13 +44,12 @@ class SearchEngine:
     # block-metadata cache a serving node keeps across queries
     shards: DataFrame | None = None
     doc_map: DataFrame | None = None
+    # ONE shared cache: per-term block metadata is pagerank-invariant, so
+    # every topic reuses the same term rows; only the cached PR blend
+    # maximum is vector-specific (a stale pr_max under another topic's
+    # vector would break skip-planner admissibility), so that slot is
+    # keyed per topic (pr_max_key=_PR_MAX_KEY + ":" + topic)
     meta_cache: dict = field(default_factory=dict)
-    # per-topic metadata caches: the cached PR blend maximum inside a
-    # meta_cache is only valid for ONE pagerank vector, and each topic's
-    # filtered vector has its own maximum — sharing one cache across
-    # topics would reuse a stale pr_max and silently break skip-planner
-    # admissibility (wrong top-k), so each topic gets its own dict
-    _topic_meta_caches: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -141,16 +140,15 @@ class SearchEngine:
                     'backend="shards" requires a build(..., with_shards=True)'
                 )
             if wandable:
-                from .operators.wand import wand_topk_from_shards
+                from .operators.wand import _PR_MAX_KEY, wand_topk_from_shards
 
-                cache = (
-                    self.meta_cache
-                    if topic is None
-                    else self._topic_meta_caches.setdefault(topic, {})
+                pr_key = (
+                    _PR_MAX_KEY if topic is None else f"{_PR_MAX_KEY}:{topic}"
                 )
                 topk = wand_topk_from_shards(
                     self.spark, self.shards, self.doc_map, terms, self.cfg,
-                    k=k, pagerank=pr, dense_keys=True, meta_cache=cache,
+                    k=k, pagerank=pr, dense_keys=True,
+                    meta_cache=self.meta_cache, pr_max_key=pr_key,
                 )
             else:
                 from .operators.bm25 import search_from_shards

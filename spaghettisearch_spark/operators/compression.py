@@ -634,6 +634,14 @@ def refresh_shard_stats(
       (salt classification re-derived from current df);
     - everything else passes through byte-identical (gated in tests).
 
+    A refresh NEVER deletes postings: a decoded row whose (doc_key,
+    field) is absent from the CURRENT doc stats (doc removed from the
+    corpus but not yet tombstoned, or a doc that lost a field) keeps its
+    STORED weight — deletions flow only through merge_posting_shards
+    tombstones. A decoded field absent from ``corpus_stats_rows`` while
+    its dl IS present fails loudly (raise_error) instead of encoding a
+    silent NULL weight.
+
     ``doc_stats_keyed`` must be (doc_key, field, dl) in the SAME doc_key
     mode as the shards (use key_doc_stats for the dense-dim path);
     ``corpus_stats_rows`` is the collected CURRENT corpus_stats (field,
@@ -660,6 +668,10 @@ def refresh_shard_stats(
             > F.lit(float(drift_threshold))
         )
         .select("term", "field")
+        # tiny (drifted group keys only), referenced up to three times
+        # below (partition-id collect, left_anti, left_semi) — without a
+        # barrier each reference re-runs the full shards groupBy
+        .localCheckpoint(eager=False)
     )
     if partitions_only:
         ids = sorted(
@@ -674,10 +686,14 @@ def refresh_shard_stats(
     untouched = shards.join(drifted, ["term", "field"], "left_anti")
     touched = shards.join(drifted, ["term", "field"], "left_semi")
 
-    # stale weights are re-derived, not read: skip their decode + Arrow
-    # transfer (and let parquet prune the weights column off the scan)
-    rows = decode_shards(touched, fields=("tf", "positions"))
-    n_docs = int(corpus_stats_rows[0]["n_docs"])
+    # the stored weight rides the decode as the orphan fallback (a
+    # posting with no current dl keeps it; 8 bytes/posting extra Arrow)
+    rows = decode_shards(touched).withColumnRenamed("weight", "stored_weight")
+    # salt-threshold base for the re-encode: the corpus-level doc count
+    # is the max over per-field counts (a field's n_docs counts only
+    # docs HAVING that field — taking row 0 arbitrarily undercounts
+    # whenever the first field is sparse)
+    n_docs = max(int(r["n_docs"]) for r in corpus_stats_rows)
     contrib = None
     for r in corpus_stats_rows:
         c = bm25_contrib_col(cfg, int(r["n_docs"]), float(r["avgdl"]))
@@ -686,10 +702,26 @@ def refresh_shard_stats(
             if contrib is None
             else contrib.when(F.col("field") == r["field"], c)
         )
+    # loud failure on a field with a current dl but no corpus stats —
+    # the silent alternative is a NULL weight packed as NaN
+    contrib = contrib.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("refresh_shard_stats: decoded field '"),
+                F.col("field"),
+                F.lit("' missing from corpus_stats_rows"),
+            )
+        )
+    )
     reweighted = (
         rows.join(F.broadcast(term_stats), ["term", "field"])
-        .join(doc_stats_keyed, ["doc_key", "field"])
-        .withColumn("weight", contrib)
+        .join(doc_stats_keyed, ["doc_key", "field"], "left")
+        .withColumn(
+            "weight",
+            F.when(F.col("dl").isNull(), F.col("stored_weight")).otherwise(
+                contrib
+            ),
+        )
         .select("term", "field", "doc_key", "tf", "positions", "weight")
         # barrier: same double-reference economics as the merge path
         .localCheckpoint(eager=False)

@@ -463,6 +463,7 @@ def wand_topk_from_shards(
     dense_keys: bool = False,
     meta_cache: dict | None = None,
     two_phase: bool = False,
+    pr_max_key: str = _PR_MAX_KEY,
 ) -> DataFrame:
     """Exact top-k straight from the compressed posting shards: pruned
     shard scan -> varbyte decode (mapInPandas) -> block-max WAND.
@@ -509,6 +510,15 @@ def wand_topk_from_shards(
     skip planning. With it, only first-seen terms are collected — the
     in-memory term dictionary every native engine keeps, made explicit.
     The caller must drop the dict when the shards frame is rebuilt.
+
+    ``pr_max_key``: the meta_cache slot for the cached PageRank blend
+    maximum. The per-term block rows are pagerank-INVARIANT, so a caller
+    serving several PR vectors over the same shards (topic-sensitive
+    blending) shares ONE cache and keys only the pr_max slot per vector
+    (e.g. ``_PR_MAX_KEY + ":" + topic``) — a stale pr_max under a
+    different vector would break skip-planner admissibility, while
+    duplicating the term metadata per vector just wastes fetches. Must
+    start with NUL so it can never shadow a term's entry.
     """
     from collections import Counter
 
@@ -563,12 +573,14 @@ def wand_topk_from_shards(
             # without this every blended query pays one driver aggregation
             # even on the repeat-query path the meta_cache exists for. The
             # reserved key can't collide: the tokenizer never emits NUL.
-            if meta_cache is not None and _PR_MAX_KEY in meta_cache:
-                pr_max = meta_cache[_PR_MAX_KEY]
+            if not pr_max_key.startswith("\x00"):
+                raise ValueError("pr_max_key must start with NUL")
+            if meta_cache is not None and pr_max_key in meta_cache:
+                pr_max = meta_cache[pr_max_key]
             else:
                 pr_max = pagerank.agg(F.max("rank")).first()[0]
                 if meta_cache is not None:
-                    meta_cache[_PR_MAX_KEY] = pr_max
+                    meta_cache[pr_max_key] = pr_max
             extra_ub = cfg.w_pagerank * cfg.blend_scale * float(pr_max or 0.0)
         qtf_map = {t: float(counts[t]) for t in term_list}
         keep = select_blocks(meta, cfg, qtf_map, k, extra_ub)

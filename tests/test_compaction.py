@@ -154,6 +154,62 @@ def test_refresh_all_on_zero_threshold_scaled_stats(
         df_.unpersist()
 
 
+def test_refresh_never_deletes_orphan_postings(spark, corpus_small, index_small):
+    """A refresh is a weight-only repair: a posting in a drifted group
+    whose doc is absent from the CURRENT doc stats (removed from the
+    corpus but not yet tombstoned) must survive with its STORED weight —
+    deletions flow only through merge tombstones. Guards the round-4
+    advisory: the inner doc_stats join silently dropped such rows."""
+    n_docs = corpus_small.count()
+    postings = index_small.postings.withColumn(
+        "weight", F.col("bm25_weight")
+    ).select("term", "field", "doc_id", "tf", "positions", "weight").cache()
+    base = build_posting_shards(postings, n_docs, DEFAULT).cache()
+
+    # force EVERY group to drift (df doubled) so the whole index is
+    # re-weighted, then hand refresh doc stats MISSING a few docs
+    scaled = index_small.term_stats.withColumn("df", F.col("df") * 2)
+    gone = [
+        r["doc_id"]
+        for r in corpus_small.select("doc_id").orderBy("doc_id").limit(3).collect()
+    ]
+    dsk = key_doc_stats(
+        index_small.doc_stats.filter(~F.col("doc_id").isin(gone)), None
+    )
+    out = refresh_shard_stats(
+        base, scaled, dsk, index_small.corpus_stats.collect(), DEFAULT,
+        drift_threshold=0.0,
+    ).cache()
+
+    # no posting lost: decoded (term, field, doc_key) sets identical
+    key = lambda df_: {
+        (r["term"], r["field"], r["doc_key"])
+        for r in decode_shards(df_).select("term", "field", "doc_key").collect()
+    }
+    assert key(out) == key(base)
+
+    # orphan postings keep their stored weight bit-for-bit; the rest got
+    # the re-derived (changed) weight
+    from spaghettisearch_spark.functions.hashing import term_hash60_py
+
+    gone_keys = {term_hash60_py(d) for d in gone}
+    before = {
+        (r["term"], r["field"], r["doc_key"]): r["weight"]
+        for r in decode_shards(base).collect()
+    }
+    changed = unchanged = 0
+    for r in decode_shards(out).collect():
+        k = (r["term"], r["field"], r["doc_key"])
+        if r["doc_key"] in gone_keys:
+            assert r["weight"] == before[k]
+            unchanged += 1
+        elif r["weight"] != before[k]:
+            changed += 1
+    assert unchanged > 0 and changed > 0
+    for df_ in (postings, base, out):
+        df_.unpersist()
+
+
 def test_merge_upsert_group_invariant(spark, corpus_small, index_small):
     """merge_posting_shards' caller contract: each side holds at most one
     posting per (term, field, doc_key), so the decoded union the upsert

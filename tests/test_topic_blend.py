@@ -155,14 +155,17 @@ def test_engine_topic_query_shards_backend(spark):
         assert [c["doc_id"] for c in shd] == [c["doc_id"] for c in mem], topic
         for a, b in zip(shd, mem):
             assert a["final_rank"] == pytest.approx(b["final_rank"], rel=1e-9)
-    # each topic holds its own cache (its own pr_max slot); the global
-    # one is separate — on this fixture the VALUES happen to coincide
-    # (uniform per-category PR), the isolation is what matters
+    # ONE shared cache: term metadata fetched once for all topics, but
+    # each PR vector keeps its OWN pr_max slot (a stale pr_max under a
+    # different vector would break skip admissibility) — on this fixture
+    # the VALUES happen to coincide (uniform per-category PR), the slot
+    # isolation is what matters
     assert _PR_MAX_KEY in eng.meta_cache
     for t in ("small", "big"):
-        assert _PR_MAX_KEY in eng._topic_meta_caches[t]
-    assert eng._topic_meta_caches["small"] is not eng._topic_meta_caches["big"]
-    assert eng._topic_meta_caches["small"] is not eng.meta_cache
+        assert f"{_PR_MAX_KEY}:{t}" in eng.meta_cache
+    # term metadata entries are shared (no per-topic duplication)
+    term_keys = [k for k in eng.meta_cache if not k.startswith("\x00")]
+    assert len(term_keys) == len(set(term_keys))
 
 
 def test_search_from_shards_key_mode_guard(spark, corpus_small, index_small):
