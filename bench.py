@@ -405,37 +405,47 @@ def main() -> None:
 
     hot_bag = ["zw00000", "zw00001", "zw00002"]
     mid_bag = ["zw00000", "zw00150", "zw02500"]
+    rarehot_bag = ["zw00000", "zw02500"]  # hot + rare: candidate pruning
 
-    def zq(bag, meta=zmeta, sh=None, two_phase=False):
+    def zq(bag, meta=zmeta, sh=None, two_phase=False, k=50):
         return wand_topk_from_shards(
             spark, sh if sh is not None else zshards, zmap, bag, zcfg,
-            k=50, dense_keys=True, meta_cache=meta, two_phase=two_phase,
+            k=k, dense_keys=True, meta_cache=meta, two_phase=two_phase,
         )
 
     # hard exactness gate before timing anything
-    for bag in (hot_bag, mid_bag, ["zw00000"]):
+    for bag, k in (
+        (hot_bag, 50), (mid_bag, 50), (["zw00000"], 50), (rarehot_bag, 10)
+    ):
         exh = [
             r["doc_id"]
-            for r in search(spark, zidx, " ".join(bag), zcfg, k=50).collect()
+            for r in search(spark, zidx, " ".join(bag), zcfg, k=k).collect()
         ]
-        got = [r["doc_id"] for r in zq(bag).collect()]
+        got = [r["doc_id"] for r in zq(bag, k=k).collect()]
         assert got == exh, f"zipf WAND != exhaustive for {bag}"
 
-    for name, bag in (
-        ("hot", hot_bag), ("mid", mid_bag), ("single_hot", ["zw00000"])
+    for name, bag, k in (
+        ("hot", hot_bag, 50),
+        ("mid", mid_bag, 50),
+        ("single_hot", ["zw00000"], 50),
+        # rare high-idf + hot flat term at k=10: the shape where DOC-level
+        # candidate pruning is admissible (every unsampled doc provably
+        # misses the threshold) — skip_stats.cand_docs records how few
+        # postings survive the decode (at 10^12 files this is the
+        # difference between shuffling the hot term's df and ~k*blocks)
+        ("rarehot_k10", rarehot_bag, 10),
     ):
         timings[f"zipf_q_wand_shards_{name}"] = best_of(
-            lambda bag=bag: zq(bag).collect(), n=reps
+            lambda bag=bag, k=k: zq(bag, k=k).collect(), n=reps
         )
-        # blocks the skip planner kept vs saw on the LAST run of this bag
+        # blocks kept vs saw + candidate-doc count on the LAST run
         skip_stats[f"zipf_{name}"] = dict(wand_mod.LAST_SKIP_STATS)
-    # two-phase planner: wave-1 exact partials floor the threshold.
-    # Measured effect on THIS corpus (see BASELINE.md): tightens
-    # single-term skipping; does NOT unlock multi-term skipping — the
-    # impact-ordered samples already make the single-phase threshold
-    # near-exact, and the cross-term bound is the binding constraint.
-    # Recorded so the trade (one extra job vs kept-block count) is a
-    # number, not a guess. Exactness hard-asserted before timing.
+    # two-phase planner: wave-1 exact scoring of the sampled docs floors
+    # the threshold near the true k-th. Since round 5 this UNLOCKS
+    # multi-term skipping (the single-phase sample-partial threshold was
+    # the binding constraint; with the floor + doc-range-aligned bounds
+    # the hot bag drops from keeping ~everything to ~2/3, vs an oracle
+    # skippability floor recorded below). Exactness hard-asserted.
     got_2p = [r["doc_id"] for r in zq(hot_bag, two_phase=True).collect()]
     exh_hot = [
         r["doc_id"]
@@ -446,6 +456,37 @@ def main() -> None:
         lambda: zq(hot_bag, two_phase=True).collect(), n=reps
     )
     skip_stats["zipf_hot_2phase"] = dict(wand_mod.LAST_SKIP_STATS)
+
+    # ORACLE skippability floor for the hot bag: a block is skippable by
+    # ANY exact planner iff its best doc's TRUE total score is below the
+    # true k-th score. Computed from the decoded shards — this is the
+    # information-theoretic limit the planner is judged against (keeping
+    # more than (total - skippable) blocks is planner slack; at
+    # total == kept the query shape simply admits no block skipping).
+    from spaghettisearch_spark.operators.compression import decode_shards as _dec
+
+    _hb = _dec(
+        zshards.filter(F.col("term").isin(hot_bag)),
+        passthrough=("salt",), fields=("weight",),
+    )
+    _fw = (
+        F.when(F.col("field") == "title", F.lit(zcfg.w_title))
+        .otherwise(F.lit(zcfg.w_body))
+    )
+    _per = _hb.withColumn("b", _fw * F.col("weight") * F.lit(zcfg.blend_scale))
+    _tot = _per.groupBy("doc_key").agg(F.sum("b").alias("s")).cache()
+    _t_true = _tot.orderBy(F.desc("s")).limit(50).collect()[-1]["s"]
+    _blk = (
+        _per.join(_tot, "doc_key")
+        .groupBy("term", "field", "salt")
+        .agg(F.max("s").alias("blockmax"))
+        .collect()
+    )
+    skip_stats["zipf_hot_oracle"] = {
+        "total": len(_blk),
+        "skippable": sum(1 for r in _blk if r["blockmax"] < _t_true),
+    }
+    _tot.unpersist()
 
     timings["zipf_q_exhaustive_hot"] = best_of(
         lambda: search(spark, zidx, " ".join(hot_bag), zcfg, k=50).collect(),

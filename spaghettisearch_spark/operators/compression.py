@@ -132,6 +132,17 @@ SHARD_SCHEMA = T.StructType(
         # blocks whose max_weight-based upper bound can still beat it.
         T.StructField("top_doc_keys", T.ArrayType(T.LongType())),
         T.StructField("top_weights", T.ArrayType(T.DoubleType())),
+        # doc-range-aligned sub-maxima: equi-depth split of the block's
+        # doc_key-sorted postings into RANGE_SUB_N chunks; bounds[i] is
+        # chunk i's first key (bounds[-1] the block's last key) and
+        # range_maxw[i] its max weight. Lets the skip planner bound a
+        # block's docs by the OTHER terms' maxima restricted to the
+        # overlapping key range instead of their global maxima — the
+        # difference between "WAND exists" and "WAND pays off on
+        # multi-term queries" (a hot term's global max is one outlier
+        # posting; its max within 1/16th of the doc space usually isn't).
+        T.StructField("range_bounds", T.ArrayType(T.LongType())),
+        T.StructField("range_maxw", T.ArrayType(T.DoubleType())),
         T.StructField("doc_ids", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("weights", T.BinaryType()),
@@ -147,6 +158,12 @@ SHARD_SCHEMA = T.StructType(
 # in r4 alongside impact-ordered blocks: with decaying block maxima the
 # threshold quality directly bounds how much of the tail gets skipped.
 BLOCK_SAMPLE_N = 32
+
+# sub-ranges per block for the doc-range-aligned maxima: 16 keeps block
+# metadata small (~17 longs + 16 doubles) while splitting the doc space
+# finely enough that a hot term's per-range max sits near its typical
+# high weight, not its single global outlier
+RANGE_SUB_N = 16
 
 
 def _encode_blocks(batch_iter):
@@ -193,6 +210,19 @@ def _encode_blocks(batch_iter):
             else:
                 deltas = np.zeros(0, dtype=np.int64)
             top = np.argsort(-weights, kind="stable")[:BLOCK_SAMPLE_N]
+            # equi-depth doc-range sub-maxima (keys already sorted)
+            n_sub = int(min(RANGE_SUB_N, n))
+            sub_starts = (np.arange(n_sub) * n) // n_sub
+            rng_maxw = (
+                np.maximum.reduceat(weights, sub_starts)
+                if n
+                else np.zeros(0)
+            )
+            rng_bounds = (
+                np.concatenate([keys[sub_starts], keys[-1:]])
+                if n
+                else np.zeros(0, dtype=np.int64)
+            )
             out.append(
                 (
                     row.term,
@@ -203,6 +233,8 @@ def _encode_blocks(batch_iter):
                     float(weights.max()) if n else 0.0,
                     [int(keys[i]) for i in top],
                     [float(weights[i]) for i in top],
+                    [int(x) for x in rng_bounds],
+                    [float(x) for x in rng_maxw],
                     vb_encode(delta_encode(keys)),
                     vb_encode(tfs),
                     weights.astype(">f8").tobytes(),
@@ -345,6 +377,7 @@ def decode_shards(
     shards: DataFrame,
     passthrough: tuple[str, ...] = (),
     fields: tuple[str, ...] = ("tf", "weight", "positions"),
+    doc_keys=None,
 ) -> DataFrame:
     """posting_shards -> one row per (term, field, doc_key) — the
     round-trip inverse of build_posting_shards (modulo doc_id -> 60-bit
@@ -358,7 +391,15 @@ def decode_shards(
     the varbyte decode of tfs + positions AND — the bigger cost — the
     Arrow transfer of the per-doc position lists; the phrase path asks
     for ``(weight, positions)``. Undecoded payload columns never leave
-    parquet (column pruning) and never cross Arrow."""
+    parquet (column pruning) and never cross Arrow.
+
+    ``doc_keys`` (optional int64 array/list): restrict the decoded rows
+    to these keys — the skip planner's doc-level candidate pruning
+    (wand.plan_blocks). The doc_id stream is still varbyte-decoded (it
+    must be, to know which rows to keep), but the kept rows — and with
+    them the Arrow transfer and every downstream shuffle — shrink to
+    the candidate postings. The filter ships as a task closure: it is
+    bounded by |blocks| * BLOCK_SAMPLE_N keys, never corpus-sized."""
     extra = list(passthrough)
     want = [f for f in ("tf", "weight", "positions") if f in fields]
     out_cols = ["term", "field", "doc_key"] + want + extra
@@ -370,6 +411,11 @@ def decode_shards(
     want_tf = "tf" in want
     want_w = "weight" in want
     want_pos = "positions" in want
+    cand = (
+        np.unique(np.asarray(doc_keys, dtype=np.int64))
+        if doc_keys is not None
+        else None
+    )
 
     def _decode(batch_iter):
         for pdf in batch_iter:
@@ -379,6 +425,13 @@ def decode_shards(
             # over decoded postings (the round-3 hot-path residual).
             for row in pdf.itertuples(index=False):
                 keys = delta_decode(vb_decode(row.doc_ids))
+                mask = None
+                if cand is not None:
+                    mask = np.isin(keys, cand, assume_unique=True)
+                    if mask.all():
+                        mask = None
+                    else:
+                        keys = keys[mask]
                 n = len(keys)
                 if n == 0:
                     continue
@@ -388,11 +441,13 @@ def decode_shards(
                     "doc_key": keys,
                 }
                 if want_tf:
-                    block["tf"] = vb_decode(row.tfs).astype(np.int32)
+                    tfs = vb_decode(row.tfs).astype(np.int32)
+                    block["tf"] = tfs if mask is None else tfs[mask]
                 if want_w:
-                    block["weight"] = np.frombuffer(
-                        row.weights, dtype=">f8"
-                    ).astype(np.float64)
+                    ws = np.frombuffer(row.weights, dtype=">f8").astype(
+                        np.float64
+                    )
+                    block["weight"] = ws if mask is None else ws[mask]
                 if want_pos:
                     pos_lens = vb_decode(row.pos_lens)
                     flat = vb_decode(row.positions)
@@ -412,9 +467,10 @@ def decode_shards(
                         abs_pos = np.zeros(0, dtype=np.int32)
                     # one array view per DOC (not per posting); Arrow
                     # converts ndarray cells to list<int> natively
-                    block["positions"] = pd.Series(
-                        np.split(abs_pos, ends[:-1]), dtype=object
-                    )
+                    per_doc = np.split(abs_pos, ends[:-1])
+                    if mask is not None:
+                        per_doc = [p for p, m in zip(per_doc, mask) if m]
+                    block["positions"] = pd.Series(per_doc, dtype=object)
                 for c in extra:
                     block[c] = np.repeat(
                         np.array([getattr(row, c)], dtype=object), n

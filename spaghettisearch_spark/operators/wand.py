@@ -377,12 +377,29 @@ def _wand_from_hits(
 
 
 # telemetry from the latest wand_topk_from_shards call: how many blocks
-# the skip planner kept vs saw (tests assert kept < total on skewed data)
-LAST_SKIP_STATS: dict[str, int] = {"total": 0, "kept": 0}
+# the skip planner kept vs saw (tests assert kept < total on skewed
+# data), and the doc-level candidate count (-1 = pruning not admissible)
+LAST_SKIP_STATS: dict[str, int] = {"total": 0, "kept": 0, "cand_docs": -1}
 
 # reserved meta_cache key for the cached PageRank blend maximum (terms
 # never contain NUL, so this cannot shadow a term's metadata entry)
 _PR_MAX_KEY = "\x00pr_max"
+
+
+_I64_MIN = np.iinfo(np.int64).min
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _row_ranges(r) -> tuple | None:
+    """(range_bounds, range_maxw) off a metadata row, or None when the
+    row predates the range-aligned schema (pre-round-5 shard frames)."""
+    try:
+        rb, rm = r["range_bounds"], r["range_maxw"]
+    except (ValueError, KeyError):
+        return None
+    if rb is None or rm is None or len(rb) != len(rm) + 1:
+        return None
+    return rb, rm
 
 
 def select_blocks(
@@ -393,40 +410,117 @@ def select_blocks(
     extra_ub: float = 0.0,
     min_threshold: float | None = None,
 ) -> set[tuple[str, str, int]]:
+    """Back-compat wrapper: the kept-block set from plan_blocks."""
+    return plan_blocks(meta_rows, cfg, qtf, k, extra_ub, min_threshold)[0]
+
+
+def plan_blocks(
+    meta_rows: list,
+    cfg: EngineConfig,
+    qtf: dict[str, float],
+    k: int,
+    extra_ub: float = 0.0,
+    min_threshold: float | None = None,
+) -> tuple[set[tuple[str, str, int]], float | None, list[int] | None]:
     """Block-max skip planner (driver-side, pure): given undecoded block
-    metadata rows (term, field, salt, max_weight, top_doc_keys,
-    top_weights), return the (term, field, salt) blocks that must be
-    decoded for an EXACT top-k.
+    metadata rows (term, field, salt, df, max_weight, top_doc_keys,
+    top_weights, range_bounds, range_maxw), return
+
+      (keep, threshold, candidate_doc_keys)
+
+    - ``keep``: the (term, field, salt) blocks that must be decoded for
+      an EXACT top-k;
+    - ``threshold``: the admissible lower bound on the true k-th score
+      the planner derived (None when the samples can't produce one);
+    - ``candidate_doc_keys``: when DOC-level pruning is admissible (see
+      below), the sorted doc_key list that provably contains every
+      top-k doc — the caller may then restrict the varbyte decode to
+      those keys; None otherwise.
 
     Threshold: each block's top-N (doc_key, weight) sample yields partial
     blended scores per doc (a lower bound of the doc's full score, since
-    contributions are non-negative); T = k-th largest partial. A block is
-    skippable iff its best-case doc score — its own max_weight plus every
-    OTHER (term, field) group's max block weight plus ``extra_ub`` (e.g.
-    the PageRank blend maximum) — is strictly below T: every doc in it
-    then provably scores below the k-th result, so the doc is not in the
-    top-k and dropping its remaining contributions cannot corrupt the
-    top-k (top-k docs appear only in kept blocks, so their scores stay
-    exact). Strict inequality keeps tie-on-T blocks."""
+    contributions are non-negative); T = k-th largest partial.
+
+    Doc-range-aligned bound: a doc in sub-range i of block B (doc_key in
+    [bounds[i], bounds[i+1]]) scores at most B's sub-range max, plus for
+    every OTHER (term, field) group the max over that group's sub-range
+    triples whose key interval INTERSECTS [bounds[i], bounds[i+1]] (the
+    doc's posting in that group, if any, lies inside such a triple), plus
+    ``extra_ub`` (e.g. the PageRank blend maximum). B is skippable iff
+    that bound is strictly below T for EVERY sub-range: each of its docs
+    then provably misses the top-k, so dropping their contributions
+    cannot corrupt it (top-k docs appear only in kept blocks, so their
+    scores stay exact). Strict inequality keeps tie-on-T blocks. This is
+    what makes multi-term skipping bite: the admissible cross-term bound
+    uses a term's max within ~1/16th of the doc space — typically its
+    bulk high weight — instead of its single global outlier. A row
+    without range metadata degrades to one (-inf, +inf, max_weight)
+    triple, which reproduces the round-4 global-maxima bound exactly.
+
+    Doc-level candidate pruning (the at-scale complement of block
+    skipping): a block with df <= BLOCK_SAMPLE_N is SAMPLE-COMPLETE —
+    its top-N sample IS its whole posting list — and a (term, field)
+    group all of whose blocks are complete contributes ZERO to any doc
+    outside the sampled keys. So a doc appearing in NO block's sample
+    scores at most U_out = sum of the INCOMPLETE groups' max blended
+    weights + extra_ub. When U_out < threshold, every top-k doc is
+    provably among the sampled keys, and the decode can drop all other
+    postings: computed scores stay exact for candidates (only
+    non-candidate rows are dropped, and block skipping already
+    guarantees top-k docs live in kept blocks), and a dropped doc's
+    true score < threshold <= true k-th, so it cannot displace anyone.
+    This is what pays on the rare-term + hot-term bag — the dominant
+    shape where block granularity is too coarse (every hot block spans
+    the whole doc space) but the candidate set is tiny: decode, Arrow
+    transfer, and the bucket shuffle then scale with |candidates|, not
+    with the hot term's df.
+
+    Intervals are int64 end-to-end — 60-bit hash keys are not exactly
+    representable in float64, and a boundary off by 2^60*eps could
+    silently drop a true overlap (inadmissible)."""
+    from .compression import BLOCK_SAMPLE_N
     fw = {FIELD_TITLE: cfg.w_title, FIELD_BODY: cfg.w_body}
 
     def factor(field: str, term: str) -> float:
         return fw.get(field, 0.0) * qtf.get(term, 0.0) * cfg.blend_scale
 
-    # per-(term, field) max blended upper bound across its blocks
-    group_ub: dict[tuple[str, str], float] = {}
+    # threshold from the per-block top-N samples + per-group blended
+    # sub-range triples (lo, hi, max) for the range-aware cross bound
     partials: dict[int, float] = {}
+    tri: dict[tuple[str, str], tuple[list, list, list]] = {}
+    group_ub: dict[tuple[str, str], float] = {}
+    incomplete: set[tuple[str, str]] = set()
     for r in meta_rows:
         f = factor(r["field"], r["term"])
         key = (r["term"], r["field"])
         ub = float(r["max_weight"]) * f
         if ub > group_ub.get(key, 0.0):
             group_ub[key] = ub
+        try:
+            df = r["df"]
+        except (ValueError, KeyError):
+            df = None
+        if df is None or int(df) > BLOCK_SAMPLE_N:
+            incomplete.add(key)
         for dk, w in zip(r["top_doc_keys"] or [], r["top_weights"] or []):
             partials[dk] = partials.get(dk, 0.0) + float(w) * f
+        los, his, ms = tri.setdefault(key, ([], [], []))
+        rng = _row_ranges(r)
+        if rng is not None:
+            rb, rm = rng
+            los.extend(rb[:-1])
+            his.extend(rb[1:])
+            ms.extend(float(m) * f for m in rm)
+        else:
+            los.append(_I64_MIN)
+            his.append(_I64_MAX)
+            ms.append(ub)
     if len(partials) < k:
         if min_threshold is None:
-            return {(r["term"], r["field"], int(r["salt"])) for r in meta_rows}
+            keep_all = {
+                (r["term"], r["field"], int(r["salt"])) for r in meta_rows
+            }
+            return keep_all, None, None
         threshold = min_threshold
     else:
         threshold = sorted(partials.values(), reverse=True)[k - 1]
@@ -436,18 +530,56 @@ def select_blocks(
         # k-th score, so max() preserves admissibility
         if min_threshold is not None and min_threshold > threshold:
             threshold = min_threshold
-    sum_ub = sum(group_ub.values()) + extra_ub
+
+    tri_np = {
+        key: (
+            np.asarray(los, dtype=np.int64),
+            np.asarray(his, dtype=np.int64),
+            np.asarray(ms, dtype=np.float64),
+        )
+        for key, (los, his, ms) in tri.items()
+    }
+    others_of: dict[tuple[str, str], list] = {
+        key: [v for g, v in tri_np.items() if g != key] for key in tri_np
+    }
+
     keep: set[tuple[str, str, int]] = set()
     for r in meta_rows:
         key = (r["term"], r["field"])
-        bound = (
-            sum_ub
-            - group_ub.get(key, 0.0)
-            + float(r["max_weight"]) * factor(r["field"], r["term"])
+        f = factor(r["field"], r["term"])
+        rng = _row_ranges(r)
+        if rng is not None:
+            rb, rm = rng
+            subs = [
+                (int(rb[i]), int(rb[i + 1]), float(rm[i]) * f)
+                for i in range(len(rm))
+            ]
+            # check the likeliest-kept sub-range first (early exit on keep;
+            # a SKIP decision always needs every sub-range checked)
+            subs.sort(key=lambda s: -s[2])
+        else:
+            subs = [(_I64_MIN, _I64_MAX, float(r["max_weight"]) * f)]
+        others = others_of[key]
+        for lo, hi, m in subs:
+            bound = m + extra_ub
+            for los, his, ms in others:
+                sel = (his >= lo) & (los <= hi)
+                if sel.any():
+                    bound += float(ms[sel].max())
+            if bound >= threshold:
+                keep.add((r["term"], r["field"], int(r["salt"])))
+                break
+
+    # doc-level candidate pruning: admissible iff any unsampled doc's
+    # best case (incomplete groups' maxima + PR mass) provably misses
+    # the threshold
+    cand: list[int] | None = None
+    u_out = sum(group_ub[g] for g in incomplete) + extra_ub
+    if u_out < threshold:
+        cand = sorted(
+            {dk for r in meta_rows for dk in (r["top_doc_keys"] or [])}
         )
-        if bound >= threshold:
-            keep.add((r["term"], r["field"], int(r["salt"])))
-    return keep
+    return keep, threshold, cand
 
 
 def wand_topk_from_shards(
@@ -469,17 +601,23 @@ def wand_topk_from_shards(
     shard scan -> varbyte decode (mapInPandas) -> block-max WAND.
 
     ``two_phase=True`` refines the skip threshold with one extra
-    distributed round: decode ONLY the highest-impact block of each
-    (term, field), score those postings exactly, and use the k-th best
-    partial score — an exact lower bound on the true k-th result — as a
-    floor for the planner threshold. Multi-term bags skip little under
-    the sample-derived threshold (the admissible cross-term bound needs
-    a tight k-th estimate to bite); the wave-1 partials capture
-    cross-term sums for the high-impact docs and tighten it. Costs one
-    extra job per query (~fixed local overhead), so it's opt-in: right
-    for long posting lists at scale, wrong for latency-bound tiny
-    corpora. Exactness argument is select_blocks', unchanged: both
-    thresholds are lower bounds on the true k-th score.
+    distributed round: decode ONLY the sampled docs' postings (the
+    planner's candidate filter over every query-term block), score them
+    EXACTLY, and use the k-th best exact score — a lower bound on the
+    true k-th result (PageRank mass is omitted and only adds) — as a
+    floor for the planner threshold. The single-phase threshold sums
+    per-block sample PARTIALS, which miss a doc's contributions from
+    blocks where it wasn't sampled; wave 1 restores them, so its floor
+    dominates both the old best-block-per-group wave and the sample
+    partials. Multi-term bags skip little without it (the admissible
+    cross-term bound needs a near-true k-th to bite — measured on the
+    Zipf hot bag: threshold 0.46 vs true 0.508 is the difference
+    between keeping 46/48 and ~2/3 of that). Costs one extra job per
+    query whose decode re-reads the key streams but transfers only
+    |samples| rows, so it's opt-in: right for long posting lists at
+    scale, wrong for latency-bound tiny corpora. Exactness argument is
+    plan_blocks', unchanged: both thresholds are lower bounds on the
+    true k-th score.
 
     This is the north-rule query path at scale: the scan touches only
     the |terms| shard partitions (``shard = hash60(term) % n_shards``
@@ -547,15 +685,20 @@ def wand_topk_from_shards(
     pruned = prune_shards(shards, term_list, cfg)
 
     meta = None
+    cand_keys = None
     if "top_weights" in pruned.columns:
         # block-max skipping BEFORE decode: read ONLY the block metadata
         # columns (parquet column pruning — the varbyte payloads stay on
         # disk), derive an exact threshold from the per-block top-N
         # samples, and decode only blocks whose upper bound can beat it.
         meta_cols = [
-            "term", "field", "salt", "max_weight",
+            "term", "field", "salt", "df", "max_weight",
             "top_doc_keys", "top_weights",
         ]
+        if "range_bounds" in pruned.columns:
+            # doc-range-aligned sub-maxima (absent on pre-round-5 shard
+            # frames — the planner then degrades to global-maxima bounds)
+            meta_cols += ["range_bounds", "range_maxw"]
         if meta_cache is None:
             meta = pruned.select(*meta_cols).collect()
         else:
@@ -583,18 +726,17 @@ def wand_topk_from_shards(
                     meta_cache[pr_max_key] = pr_max
             extra_ub = cfg.w_pagerank * cfg.blend_scale * float(pr_max or 0.0)
         qtf_map = {t: float(counts[t]) for t in term_list}
-        keep = select_blocks(meta, cfg, qtf_map, k, extra_ub)
+        keep, _thr, cand_keys = plan_blocks(meta, cfg, qtf_map, k, extra_ub)
         if two_phase and meta:
-            # wave 1: the single highest-impact block per (term, field)
-            best: dict[tuple[str, str], tuple[float, int]] = {}
-            for r in meta:
-                key = (r["term"], r["field"])
-                if key not in best or float(r["max_weight"]) > best[key][0]:
-                    best[key] = (float(r["max_weight"]), int(r["salt"]))
-            w1_keys = [
-                f"{t}\x01{f}\x01{s}"
-                for (t, f), (_w, s) in sorted(best.items())
-            ]
+            # wave 1: exact scores for every SAMPLED doc — decode all
+            # query-term blocks restricted to the sample-union keys, so
+            # each sampled doc's cross-term score is complete (vs the
+            # single-phase partials, which miss a doc's weight in blocks
+            # where it wasn't sampled). Arrow transfer and aggregation
+            # are O(|samples| * |groups|), never posting-volume.
+            sample_keys = sorted(
+                {dk for r in meta for dk in (r["top_doc_keys"] or [])}
+            )
             qdf1 = spark.createDataFrame(
                 [(t, qtf_map[t]) for t in term_list], "term string, qtf double"
             )
@@ -604,12 +746,7 @@ def wand_topk_from_shards(
                 .otherwise(F.lit(0.0))
             )
             d1 = decode_shards(
-                pruned.filter(
-                    F.concat_ws(
-                        "\x01", "term", "field", F.col("salt").cast("string")
-                    ).isin(w1_keys)
-                ),
-                fields=("weight",),
+                pruned, fields=("weight",), doc_keys=sample_keys
             )
             rows1 = (
                 d1.join(F.broadcast(qdf1), "term")
@@ -627,12 +764,15 @@ def wand_topk_from_shards(
             if len(rows1) == k:
                 # exact partial scores are lower bounds (PR and undecoded
                 # blocks only add non-negative mass)
-                keep = select_blocks(
+                keep, _thr, cand_keys = plan_blocks(
                     meta, cfg, qtf_map, k, extra_ub,
                     min_threshold=float(rows1[-1]["s"]),
                 )
         LAST_SKIP_STATS["total"] = len(meta)
         LAST_SKIP_STATS["kept"] = len(keep)
+        LAST_SKIP_STATS["cand_docs"] = (
+            len(cand_keys) if cand_keys is not None else -1
+        )
         if len(keep) < len(meta):
             keep_keys = [f"{t}\x01{f}\x01{s}" for t, f, s in sorted(keep)]
             pruned = pruned.filter(
@@ -642,8 +782,11 @@ def wand_topk_from_shards(
             )
 
     # term-bag scoring needs ONLY the precomputed impact weights: skip
-    # the tf/positions varbyte decode and their Arrow transfer entirely
-    decoded = decode_shards(pruned, fields=("weight",))
+    # the tf/positions varbyte decode and their Arrow transfer entirely;
+    # when the planner proved doc-level pruning admissible, only the
+    # candidate postings survive the decode (everything downstream —
+    # Arrow, bucket shuffle, kernel — scales with |candidates|)
+    decoded = decode_shards(pruned, fields=("weight",), doc_keys=cand_keys)
     qdf = spark.createDataFrame(
         [(t, i, float(counts[t])) for i, t in enumerate(term_list)],
         "term string, qterm_id int, qtf double",

@@ -276,6 +276,68 @@ def test_wand_two_phase_planner(spark, corpus_small, index_small):
     shards.unpersist(); doc_map.unpersist()
 
 
+def test_two_phase_unlocks_multiterm_skipping(spark):
+    """On a realistic Zipf vocabulary the single-phase threshold (block
+    sample PARTIALS) sits below the true k-th score — a doc's weight in
+    blocks where it wasn't sampled is missing — so multi-term bags keep
+    nearly everything. Wave-1 exact scoring of the sampled docs closes
+    that gap: kept_2p < kept_1p < total, still exact."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.config import EngineConfig
+    from spaghettisearch_spark.fixtures import make_zipf_documents
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.bm25 import search
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.operators.index_build import build_index
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+    from spaghettisearch_spark.sources.corpus import from_driver_documents
+
+    zcfg = EngineConfig(stem=False)
+    zn = 800
+    zdocs = make_zipf_documents(spark, zn, vocab_size=2000).cache()
+    zdocs.count()
+    zcorpus = from_driver_documents(zdocs)
+    zidx = build_index(zcorpus, zcfg)
+    zidx.postings.cache().count()
+    zdim = build_doc_dim(zcorpus).cache()
+    zdim.count()
+    zshards = build_posting_shards(
+        zidx.postings, zn, zcfg, doc_dim=zdim, weight_col="bm25_weight"
+    ).cache()
+    zshards.count()
+    zmap = zdim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    bag = ["zw00000", "zw00001", "zw00002"]
+    exh = [
+        r["doc_id"]
+        for r in search(spark, zidx, " ".join(bag), zcfg, k=30).collect()
+    ]
+    cache: dict = {}
+    one = [
+        r["doc_id"]
+        for r in wand_topk_from_shards(
+            spark, zshards, zmap, bag, zcfg, k=30, dense_keys=True,
+            meta_cache=cache,
+        ).collect()
+    ]
+    s1 = dict(wand_mod.LAST_SKIP_STATS)
+    two = [
+        r["doc_id"]
+        for r in wand_topk_from_shards(
+            spark, zshards, zmap, bag, zcfg, k=30, dense_keys=True,
+            meta_cache=cache, two_phase=True,
+        ).collect()
+    ]
+    s2 = dict(wand_mod.LAST_SKIP_STATS)
+    assert one == exh and two == exh
+    assert s2["kept"] < s1["kept"] < s1["total"], (s1, s2)
+    for df_ in (zdocs, zshards, zdim):
+        df_.unpersist()
+
+
 def test_block_skip_before_decode(spark):
     """Skip planner: on a skewed fixture (a hot term whose salted blocks
     have very different max weights), the shard path decodes FEWER blocks
@@ -330,6 +392,137 @@ def test_block_skip_before_decode(spark):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_d, s) in zip(got, want):
         assert r["score"] == pytest.approx(s, rel=1e-9)
+    shards.unpersist()
+
+
+def test_range_aware_planner_beats_global_bounds(spark):
+    """Doc-range-aligned sub-maxima: two terms whose weights are
+    monotone in doc index in OPPOSITE directions. The global cross-term
+    bound (own max + other term's corpus-wide max) keeps most blocks —
+    termb's corpus max leaks into every terma block's bound and vice
+    versa — while the range-aware bound sees that termb is weak exactly
+    where terma is strong, and prunes down to the two blocks that hold
+    the true top-k. Same metadata rows stripped of the range columns
+    reproduce the old global behavior (back-compat degradation)."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.operators.wand import (
+        select_blocks,
+        wand_topk_from_shards,
+    )
+
+    cfg = DEFAULT
+    docs = [f"d{i:04d}" for i in range(400)]
+    rows = []
+    for i, d in enumerate(docs):
+        rows.append(("terma", "body", d, 1, [0], 10.0 - 0.02 * i))
+        rows.append(("termb", "body", d, 1, [1], 0.005 * (i + 1)))
+    postings = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, weight double",
+    )
+    ids = spark.createDataFrame([(d,) for d in docs], "doc_id string")
+    dim = build_doc_dim(ids).cache()
+    dim.count()
+    shards = build_posting_shards(
+        postings, len(docs), cfg, doc_dim=dim, weight_col="weight"
+    ).cache()
+    shards.count()
+    doc_map = dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    got = wand_topk_from_shards(
+        spark, shards, doc_map, ["terma", "termb"], cfg, k=5, dense_keys=True
+    ).collect()
+    stats = dict(wand_mod.LAST_SKIP_STATS)
+    # exact oracle: monotone sum, top-5 = lowest doc indexes
+    score = {
+        d: (10.0 - 0.02 * i + 0.005 * (i + 1)) * cfg.w_body * cfg.blend_scale
+        for i, d in enumerate(docs)
+    }
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_d, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    assert stats["kept"] <= 4 < stats["total"], stats
+
+    qtf = {"terma": 1.0, "termb": 1.0}
+    meta_cols = [
+        "term", "field", "salt", "df", "max_weight",
+        "top_doc_keys", "top_weights",
+    ]
+    keep_rng = select_blocks(
+        shards.select(*(meta_cols + ["range_bounds", "range_maxw"])).collect(),
+        cfg, qtf, 5,
+    )
+    keep_glob = select_blocks(shards.select(*meta_cols).collect(), cfg, qtf, 5)
+    assert len(keep_rng) <= 4
+    assert len(keep_glob) >= 4 * len(keep_rng), (len(keep_rng), len(keep_glob))
+    dim.unpersist()
+    shards.unpersist()
+
+
+def test_candidate_doc_pruning(spark):
+    """Doc-level candidate pruning: a rare high-impact term (its blocks
+    sample-complete) plus a hot flat term (incomplete). Every unsampled
+    doc's best case (hot max only) provably misses the threshold, so the
+    planner restricts the decode to sampled doc keys — the at-scale path
+    where decode/shuffle volume follows |candidates|, not the hot df.
+    Results stay exact vs a python oracle."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.compression import (
+        BLOCK_SAMPLE_N,
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    cfg = DEFAULT
+    n = 1000  # hot blocks get ~62 postings > BLOCK_SAMPLE_N -> incomplete
+    docs = [f"d{i:04d}" for i in range(n)]
+    strong = docs[5:13]
+    rows = [("hotterm", "body", d, 1, [0], 1.0) for d in docs]
+    rows += [("raresig", "body", d, 1, [1], 10.0) for d in strong]
+    postings = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, weight double",
+    )
+    ids = spark.createDataFrame([(d,) for d in docs], "doc_id string")
+    dim = build_doc_dim(ids).cache()
+    dim.count()
+    shards = build_posting_shards(
+        postings, n, cfg, doc_dim=dim, weight_col="weight"
+    ).cache()
+    assert (
+        shards.filter(
+            (F.col("term") == "hotterm") & (F.col("df") > BLOCK_SAMPLE_N)
+        ).count()
+        > 0
+    ), "fixture must make the hot group sample-incomplete"
+    doc_map = dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    got = wand_topk_from_shards(
+        spark, shards, doc_map, ["raresig", "hotterm"], cfg, k=5,
+        dense_keys=True,
+    ).collect()
+    stats = dict(wand_mod.LAST_SKIP_STATS)
+    assert 0 < stats["cand_docs"] < n, stats
+    score = defaultdict(float)
+    for _t, _f, d, _tf, _p, w in rows:
+        score[d] += cfg.w_body * cfg.blend_scale * w
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_d, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    dim.unpersist()
     shards.unpersist()
 
 
