@@ -259,6 +259,19 @@ def main() -> None:
         spark, shards_pq, doc_map, wand_terms, cfg, k=50, dense_keys=True,
         meta_cache=shard_meta_pq,
     )
+    # the same warehouse served through the SearchEngine facade (parse ->
+    # WAND over parquet shards -> post-limit doc_meta hydration) — the
+    # full serving path a query node runs, minus snippets (no corpus
+    # attached, matching the other q_* rows)
+    from spaghettisearch_spark.api import SearchEngine
+
+    eng_wh = SearchEngine(
+        spark=spark, index=idx, cfg=cfg, shards=shards_pq, doc_map=doc_map,
+        warehouse_dir=_shard_dir, n_docs=n_files,
+    )
+    qset["q_engine_warehouse"] = lambda: eng_wh.query_df(
+        "spark query scan", k=50, use_wand=True, backend="shards"
+    )
     # hard gate: the WAND paths must return the same ranking as the
     # exhaustive path for the same bag — catches term-vocabulary
     # mismatches (raw vs stemmed) that would otherwise just make the
@@ -280,6 +293,13 @@ def main() -> None:
     ):
         got = [r["doc_id"] for r in q.collect()]
         assert got == exhaustive, "bench WAND ranking != exhaustive ranking"
+    eng_rank = [
+        r["doc_id"]
+        for r in eng_wh.query_df(
+            "spark query scan", k=50, use_wand=True, backend="shards"
+        ).collect()
+    ]
+    assert eng_rank == exhaustive, "engine warehouse ranking != exhaustive"
     from spaghettisearch_spark.operators import wand as wand_mod
 
     skip_stats = {"main_multi": dict(wand_mod.LAST_SKIP_STATS)}

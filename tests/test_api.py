@@ -105,3 +105,89 @@ def test_shard_backend_matches_memory(shard_engine):
     )
     with pytest.raises(ValueError, match="with_shards"):
         eng2.query_df("parse", backend="shards")
+
+
+def test_warehouse_engine_serves_and_compacts(spark, docs_tiny, tmp_path):
+    """warehouse_dir: the engine serves every backend="shards" query
+    from partitionBy("shard") parquet with cards identical to the
+    in-memory backend, and the LSM maintenance methods rewrite only the
+    warehouse in place: apply_merge makes a delta segment searchable
+    (and tombstones deletable), refresh_stats with no drift leaves
+    results untouched."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.api import SearchEngine
+    from spaghettisearch_spark.operators.compression import (
+        build_posting_shards,
+    )
+
+    wh = str(tmp_path / "wh")
+    eng = SearchEngine.build(
+        spark, spark.createDataFrame(docs_tiny), warehouse_dir=wh
+    )
+    assert (tmp_path / "wh" / "posting_shards").exists()
+    mem_eng = SearchEngine.build(
+        spark, spark.createDataFrame(docs_tiny), with_shards=True
+    )
+    for q, wand in [
+        ("parse buffer", False),
+        ('"hash table" flush', False),
+        ("parse buffer", True),
+        ("dispatch", True),
+    ]:
+        mem = mem_eng.query(q, k=5, use_wand=wand, backend="shards")
+        wh_cards = eng.query(q, k=5, use_wand=wand, backend="shards")
+        assert [c["doc_id"] for c in wh_cards] == [c["doc_id"] for c in mem], q
+        for a, b in zip(wh_cards, mem):
+            assert a["final_rank"] == pytest.approx(b["final_rank"], rel=1e-9)
+            assert a["snippet"] == b["snippet"]
+
+    # ---- apply_merge: a delta adding a brand-new term to two docs ----
+    assert eng.query("qqnewsig", k=5, use_wand=True, backend="shards") == []
+    target = [
+        r["doc_key"]
+        for r in eng.doc_map.orderBy("doc_key").limit(2).collect()
+    ]
+    delta_postings = spark.createDataFrame(
+        [("qqnewsig", "body", int(dk), 1, [0], 7.5) for dk in target],
+        "term string, field string, doc_key long, tf int, "
+        "positions array<int>, weight double",
+    )
+    delta = build_posting_shards(delta_postings, eng.n_docs, eng.cfg)
+    before = {
+        c["doc_id"]: c["final_rank"]
+        for c in eng.query("parse buffer", k=5, use_wand=True,
+                           backend="shards")
+    }
+    eng.apply_merge(delta)
+    hits = eng.query("qqnewsig", k=5, use_wand=True, backend="shards")
+    assert {c["doc_id"] for c in hits} == {
+        r["doc_id"]
+        for r in eng.doc_map.filter(F.col("doc_key").isin(target)).collect()
+    }
+    after = {
+        c["doc_id"]: c["final_rank"]
+        for c in eng.query("parse buffer", k=5, use_wand=True,
+                           backend="shards")
+    }
+    assert after == before, "merge of an unrelated term moved other queries"
+
+    # ---- tombstones through the same surface ----
+    dels = spark.createDataFrame(
+        [("qqnewsig", "body", int(target[0]))],
+        "term string, field string, doc_key long",
+    )
+    empty_delta = build_posting_shards(
+        delta_postings.limit(0), eng.n_docs, eng.cfg
+    )
+    eng.apply_merge(empty_delta, delete_postings=dels)
+    left = eng.query("qqnewsig", k=5, use_wand=True, backend="shards")
+    assert len(left) == 1
+
+    # ---- refresh_stats: nothing drifted for untouched terms ----
+    eng.refresh_stats(drift_threshold=0.5)
+    assert {
+        c["doc_id"]: c["final_rank"]
+        for c in eng.query("parse buffer", k=5, use_wand=True,
+                           backend="shards")
+    } == before
