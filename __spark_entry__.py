@@ -347,6 +347,46 @@ def q_wand_topk_shards(spark, sf_dir):
     )
 
 
+def q_stats_refresh_topk(spark, sf_dir):
+    """In-place scorer-migration gate for refresh_shard_stats
+    (compression.py): shards are first built carrying the LEGACY tf-idf
+    weights (normTF*idf — the reference's original scorer,
+    ranking/term_weighting.go:37), then refresh_shard_stats with
+    drift_threshold=0 re-derives BM25 weights from the stored tfs + the
+    CURRENT index stats, postings untouched. The WAND top-k over the
+    refreshed shards must hash-match the same DuckDB BM25 oracle as the
+    clean-build paths — refreshed-from-another-scorer ==
+    built-from-scratch, weight-exact to 1e-5."""
+    from spaghettisearch_spark.operators.compression import (
+        build_posting_shards,
+        key_doc_stats,
+        refresh_shard_stats,
+    )
+    from spaghettisearch_spark.operators.wand import (
+        build_doc_map,
+        wand_topk_from_shards,
+    )
+
+    idx = _engine_index(spark, sf_dir)
+    corpus = idx._driver_corpus
+    n_docs = corpus.count()
+    # default weight_col="weight" = the tf-idf column — deliberately the
+    # WRONG scorer for WAND, to be repaired in place by the refresh
+    stale = build_posting_shards(idx.postings, n_docs, CFG).cache()
+    stale.count()
+    refreshed = refresh_shard_stats(
+        stale, idx.term_stats, key_doc_stats(idx.doc_stats, None),
+        idx.corpus_stats.collect(), CFG, drift_threshold=0.0,
+    )
+    res = wand_topk_from_shards(
+        spark, refreshed, build_doc_map(corpus), QUERY_TERMS, CFG,
+        k=20, n_buckets=8,
+    )
+    return res.select(
+        F.col("doc_id").alias("did"), _e("score", 100000).alias("score_e5")
+    )
+
+
 def q_phrase_topk_shards(spark, sf_dir):
     """Phrase top-k from the COMPRESSED shards: pruned scan -> varbyte
     position decode -> offset-adjust intersect -> field blend. Same
@@ -614,43 +654,6 @@ def q_events_rollup(spark, sf_dir):
     ).select(
         "event_type", "day", F.col("n").cast("long").alias("n"),
         "sum_value_e2", "p50_e5", "p90_e5", "p99_e5",
-    )
-
-
-def q_region_rollup(spark, sf_dir):
-    """Region-grain dimension rollup: broadcast dim joins for supplier
-    counts PLUS a left_anti existence probe (customers with no orders)
-    rolled up to the same grain (merged r2 entries
-    region_supplier_counts + customers_without_orders — the anti-join
-    stays in the plan even when its count is 0 on this corpus)."""
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
-    s = (
-        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count("*").cast("long").alias("n_suppliers"),
-            F.round(F.avg("s_acctbal") * 100).cast("long").alias("avg_bal_e2"),
-        )
-    )
-    no_orders = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.count("*").cast("long").alias("n_custs_no_orders"))
-    )
-    return s.join(no_orders, "r_name", "left").select(
-        "r_name",
-        "n_suppliers",
-        "avg_bal_e2",
-        F.coalesce("n_custs_no_orders", F.lit(0))
-        .cast("long")
-        .alias("n_custs_no_orders"),
     )
 
 
@@ -1229,10 +1232,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are merged, semantics preserved: events_hourly+events_sliding_window
     -> events_windows; events_distinct_users+events_json_extract ->
     events_profile; events_value_quantiles folded into events_rollup;
-    customers_without_orders+region_supplier_counts -> region_rollup;
     orders_rank_window+orders_above_cust_avg -> orders_windows;
     graph_out_degree folded into graph_family_top5. Rows-only entries
-    sit mid-list so a lower cap would still report them."""
+    sit mid-list so a lower cap would still report them. Round 5
+    rotated the low-value relational region_rollup (merged r2
+    customers_without_orders+region_supplier_counts; anti-join coverage
+    remains via train_split_dedup and the merge tombstone path) for
+    stats_refresh_topk, putting the compaction family under the hash
+    gate."""
     return {
         "tf_postings": q_tf_postings,
         "doc_frequency": q_doc_frequency,
@@ -1260,7 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_revenue_top10": q_q3_revenue_top10,
         "snippets": q_snippets,
-        "region_rollup": q_region_rollup,
+        "stats_refresh_topk": q_stats_refresh_topk,
         "events_rollup": q_events_rollup,
         "events_profile": q_events_profile,
         "events_windows": q_events_windows,
@@ -1317,6 +1324,8 @@ FROM tf JOIN mx USING (did) JOIN df USING (term)
     sqls["bm25_topk"] = _bm25_sql(QUERY_TERMS, 20)
     sqls["wand_topk"] = _bm25_sql(QUERY_TERMS, 20)
     sqls["wand_topk_shards"] = _bm25_sql(QUERY_TERMS, 20)
+    # refresh-from-tfidf must land on the SAME BM25 truth as a clean build
+    sqls["stats_refresh_topk"] = _bm25_sql(QUERY_TERMS, 20)
     t1, t2 = PHRASE
     sqls["phrase_topk"] = f"""
 WITH {_TOKS},
@@ -1543,27 +1552,6 @@ FROM (
   FROM events
 )
 GROUP BY GROUPING SETS ((event_type), (event_type, day), ())
-"""
-    sqls["region_rollup"] = """
-WITH s AS (
-  SELECT r_name, COUNT(*)::BIGINT AS n_suppliers,
-         CAST(ROUND(AVG(s_acctbal) * 100) AS BIGINT) AS avg_bal_e2
-  FROM supplier
-  JOIN nation ON s_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  GROUP BY r_name
-),
-no_orders AS (
-  SELECT r_name, COUNT(*)::BIGINT AS n_custs_no_orders
-  FROM customer
-  JOIN nation ON c_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-  GROUP BY r_name
-)
-SELECT s.r_name, n_suppliers, avg_bal_e2,
-       COALESCE(n_custs_no_orders, 0)::BIGINT AS n_custs_no_orders
-FROM s LEFT JOIN no_orders ON no_orders.r_name = s.r_name
 """
     sqls["events_windows"] = """
 WITH starts AS (

@@ -703,9 +703,11 @@ def refresh_shard_stats(
     ``corpus_stats_rows`` is the collected CURRENT corpus_stats (field,
     n_docs, avgdl). Global-stats drift (n_docs/avgdl move too) is only
     repaired on the groups this refresh touches — when global drift
-    alone matters, pass drift_threshold=0.0 to refresh every group, the
-    degenerate full re-weight (still cheaper than a pipeline rebuild:
-    no tokenize, no posting aggregation, one decode->join->encode pass).
+    alone matters (or the stored weights come from a different scorer
+    entirely, e.g. a legacy tf-idf index migrating to BM25 in place),
+    pass drift_threshold<=0 to refresh EVERY group: the degenerate full
+    re-weight, still cheaper than a pipeline rebuild (no tokenize, no
+    posting aggregation, one decode->join->encode pass).
 
     Same bounded-write shape as the merge: ``partitions_only=True``
     returns only the touched shard partitions' rows for dynamic
@@ -717,13 +719,17 @@ def refresh_shard_stats(
     stored = shards.groupBy("term", "field").agg(
         F.sum("df").alias("stored_df")
     )
-    drifted = (
-        stored.join(term_stats, ["term", "field"])
-        .filter(
+    drifted = stored.join(term_stats, ["term", "field"])
+    if drift_threshold > 0:
+        drifted = drifted.filter(
             (F.abs(F.col("stored_df") - F.col("df")) / F.col("df"))
             > F.lit(float(drift_threshold))
         )
-        .select("term", "field")
+    # else: threshold <= 0 refreshes every group — stored df equal to
+    # the current df must NOT exempt a group (its weights can still be
+    # stale via n_docs/avgdl drift or a scorer migration)
+    drifted = (
+        drifted.select("term", "field")
         # tiny (drifted group keys only), referenced up to three times
         # below (partition-id collect, left_anti, left_semi) — without a
         # barrier each reference re-runs the full shards groupBy
