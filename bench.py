@@ -593,6 +593,125 @@ def main() -> None:
         lambda: zq(hot_bag, meta=zmeta2, sh=two_seg).collect(), n=reps
     )
 
+    # ---- LARGE Zipf section: the LSM crossover needs enough posting
+    # volume that per-op fixed costs stop dominating (the 5k-doc section
+    # can't show it — append ≈ build there because both are overhead-
+    # bound). 50k docs / ~6.3M postings, ONE rep per op (these are
+    # multi-second distributed jobs; rep noise is amortized by size).
+    # What this section is evidence FOR (measured, round 5):
+    #   - segment append (1% delta) ≪ full re-shard: the per-batch
+    #     incremental-maintenance win (~5x at 50k docs);
+    #   - bounded-reach merge (rare terms, partitions_only) ≪ full
+    #     re-shard: compaction I/O follows the delta's reach (~6x);
+    #   - 1%-random-delta merge ~= full re-shard on a Zipf vocabulary —
+    #     honestly reported: a random doc delta touches the hot terms
+    #     that carry most posting volume, so per-batch eager compaction
+    #     degenerates and the LSM answer is append N segments + merge
+    #     once (amortized), exactly what the segment rows price out.
+    zl = int(os.environ.get("BENCH_ZIPF_LARGE", "50000"))
+    if zl > 0:
+        zldocs = make_zipf_documents(spark, zl).cache()
+        zldocs.count()
+        t0 = time.time()
+        zlcorpus = from_driver_documents(zldocs)
+        zlidx = build_index(zlcorpus, zcfg)
+        zlidx.postings.cache().count()
+        timings["zipfL_index_build"] = round(time.time() - t0, 4)
+        zldim = build_doc_dim(zlcorpus).cache()
+        zldim.count()
+        t0 = time.time()
+        zlshards = build_posting_shards(
+            zlidx.postings, zl, zcfg, doc_dim=zldim, weight_col="bm25_weight"
+        ).cache()
+        zlshards.count()
+        timings["zipfL_shard_build"] = round(time.time() - t0, 4)
+
+        zlseg = F.pmod(F.xxhash64("doc_id"), F.lit(100))
+        t0 = time.time()
+        zldelta = build_posting_shards(
+            zlidx.postings.filter(zlseg == 0), zl, zcfg,
+            doc_dim=zldim, weight_col="bm25_weight",
+        ).cache()
+        zldelta.count()
+        timings["zipfL_segment_append_1pct"] = round(time.time() - t0, 4)
+        zlbase = build_posting_shards(
+            zlidx.postings.filter(zlseg != 0), zl, zcfg,
+            doc_dim=zldim, weight_col="bm25_weight",
+        ).cache()
+        zlbase.count()
+        t0 = time.time()
+        _merge(zlbase, zldelta, zl, zcfg).count()
+        timings["zipfL_shard_merge_1pct"] = round(time.time() - t0, 4)
+        _lsample = (
+            zlidx.postings.select("field", "doc_id", "tf", "positions",
+                                  "bm25_weight")
+            .orderBy("doc_id", "field", "tf").limit(10).collect()
+        )
+        zlrare = spark.createDataFrame(
+            [
+                (f"qzzrare{i}", r["field"], r["doc_id"], r["tf"],
+                 r["positions"], r["bm25_weight"])
+                for i, r in enumerate(_lsample)
+            ],
+            "term string, field string, doc_id string, tf int, "
+            "positions array<int>, bm25_weight double",
+        )
+        zlrd = build_posting_shards(
+            zlrare, zl, zcfg, doc_dim=zldim, weight_col="bm25_weight"
+        ).cache()
+        zlrd.count()
+        t0 = time.time()
+        _merge(zlbase, zlrd, zl, zcfg, partitions_only=True).count()
+        timings["zipfL_shard_merge_rare"] = round(time.time() - t0, 4)
+
+        # queries at volume: long posting lists are where block skipping
+        # and doc-level candidate pruning actually pay
+        zlmap = zldim.select(F.col("doc_idx").alias("doc_key"), "doc_id").cache()
+        zlmap.count()
+        zlmeta: dict = {}
+
+        def zlq(bag, k=50, two_phase=False):
+            return wand_topk_from_shards(
+                spark, zlshards, zlmap, bag, zcfg, k=k, dense_keys=True,
+                meta_cache=zlmeta, two_phase=two_phase,
+            )
+
+        exh_l = [
+            r["doc_id"]
+            for r in search(spark, zlidx, " ".join(hot_bag), zcfg, k=50).collect()
+        ]
+        for tp in (False, True):
+            got_l = [r["doc_id"] for r in zlq(hot_bag, two_phase=tp).collect()]
+            assert got_l == exh_l, f"zipfL WAND != exhaustive (2p={tp})"
+        timings["zipfL_q_wand_hot"] = best_of(
+            lambda: zlq(hot_bag).collect(), n=reps
+        )
+        skip_stats["zipfL_hot"] = dict(wand_mod.LAST_SKIP_STATS)
+        timings["zipfL_q_wand_hot_2phase"] = best_of(
+            lambda: zlq(hot_bag, two_phase=True).collect(), n=reps
+        )
+        skip_stats["zipfL_hot_2phase"] = dict(wand_mod.LAST_SKIP_STATS)
+        # deeper tail term than the small section's zw02500: candidate
+        # pruning needs the rare group SAMPLE-COMPLETE (df <= 32), and
+        # at 50k docs zw02500's df (~308) outgrows the sample while
+        # zw17500's (~23) stays under it
+        rarehot_l = ["zw00000", "zw17500"]
+        exh_rh = [
+            r["doc_id"]
+            for r in search(
+                spark, zlidx, " ".join(rarehot_l), zcfg, k=10
+            ).collect()
+        ]
+        got_rh = [r["doc_id"] for r in zlq(rarehot_l, k=10).collect()]
+        assert got_rh == exh_rh, "zipfL rarehot != exhaustive"
+        timings["zipfL_q_rarehot_k10"] = best_of(
+            lambda: zlq(rarehot_l, k=10).collect(), n=reps
+        )
+        skip_stats["zipfL_rarehot_k10"] = dict(wand_mod.LAST_SKIP_STATS)
+        for f_ in (zldocs, zlidx.postings, zldim, zlshards, zldelta,
+                   zlbase, zlrd, zlmap):
+            f_.unpersist()
+
     total = time.time() - t_total0
     out = {
         "metric": "index_build+query_suite_wall",

@@ -16,15 +16,16 @@ Distributed shape (the part that must survive 100 TB):
      candidate postings only), so each bucket holds the complete posting
      set of every query term for its doc range — the precondition for
      document-at-a-time evaluation;
-  3. each bucket independently computes its exact local top-k. Two
-     kernels, both exact and cross-asserted against the exhaustive
-     scorer: kernel='taat' (default) — a single branchless numpy
-     bincount scatter-add over the Arrow-resident bucket + k-th-score
-     partition (see _score_bucket_vectorized for why this beats
-     pointer-chasing once the data is in memory); kernel='daat' —
-     document-at-a-time WAND with per-term upper bounds and a local
-     top-k heap (the classic skipping form, kept for parity and for
-     engines that stream postings instead of materializing them);
+  3. each bucket independently computes its exact local top-k with a
+     single branchless numpy bincount scatter-add over the
+     Arrow-resident bucket + k-th-score partition (see
+     _score_bucket_vectorized for why this beats pointer-chasing once
+     the data is in memory). The classic per-row document-at-a-time
+     heap kernel lives in tests/daat_reference.py ONLY — a parity
+     oracle, deliberately unreachable from any production path (the
+     engine ships no per-row Python kernel); tests inject it via the
+     ``kernel`` callable parameter and cross-assert both against the
+     exhaustive scorer;
   4. global top-k = TakeOrderedAndProject over n_buckets * k rows.
 
 Exactness: every bucket returns its true local top-k, and the global
@@ -41,8 +42,6 @@ is asserted so in tests/test_wand.py.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -52,20 +51,6 @@ from pyspark.sql import types as T
 from ..config import DEFAULT, EngineConfig
 from .bm25 import posting_hits
 from .index_build import FIELD_BODY, FIELD_TITLE, Index
-
-class _InvStr(str):
-    """String with reversed ordering — lets the min-heap treat the
-    LARGEST doc_id as worst among equal scores, matching the global
-    (score desc, doc_id asc) total order."""
-
-    __slots__ = ()
-
-    def __lt__(self, other):  # type: ignore[override]
-        return str.__gt__(self, other)
-
-    def __gt__(self, other):  # type: ignore[override]
-        return str.__lt__(self, other)
-
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -88,96 +73,6 @@ _OUT_SCHEMA_LONG = T.StructType(
 )
 
 
-def _wand_bucket(cfg: EngineConfig, k: int):
-    """Build the per-bucket kernel. Input pdf columns:
-    doc_id, qterm_id (dense 0..m-1), contrib (blended per-field impact),
-    title_c, body_c. Emits local top-k rows."""
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(columns=["doc_id", "title_rank", "body_rank", "score"])
-        m = int(pdf["qterm_id"].max()) + 1
-        # organize per-term posting arrays sorted by doc_id
-        term_docs: list[np.ndarray] = []
-        term_scores: list[np.ndarray] = []
-        term_title: list[np.ndarray] = []
-        term_body: list[np.ndarray] = []
-        ubs = np.zeros(m)
-        for t in range(m):
-            sub = pdf[pdf["qterm_id"] == t]
-            if sub.empty:
-                term_docs.append(np.array([], dtype=object))
-                term_scores.append(np.zeros(0))
-                term_title.append(np.zeros(0))
-                term_body.append(np.zeros(0))
-                continue
-            sub = sub.sort_values("doc_id")
-            term_docs.append(sub["doc_id"].to_numpy())
-            term_scores.append(sub["contrib"].to_numpy(dtype=np.float64))
-            term_title.append(sub["title_c"].to_numpy(dtype=np.float64))
-            term_body.append(sub["body_c"].to_numpy(dtype=np.float64))
-            ubs[t] = term_scores[-1].max()
-
-        ptrs = np.zeros(m, dtype=np.int64)
-        lens = np.array([len(d) for d in term_docs], dtype=np.int64)
-        # heap entries: (score, _InvStr(doc_id), doc_id, title, body) — the
-        # min element is the worst-kept doc under (score desc, doc_id asc)
-        heap: list[tuple] = []
-        threshold = -np.inf
-
-        def cur_doc(t):
-            return term_docs[t][ptrs[t]] if ptrs[t] < lens[t] else None
-
-        while True:
-            # order live terms by current doc id (WAND sort step)
-            live = [(cur_doc(t), t) for t in range(m) if ptrs[t] < lens[t]]
-            if not live:
-                break
-            live.sort(key=lambda x: x[0])
-            # find pivot: smallest prefix whose UB sum can still enter the
-            # heap (>= threshold: an exact tie can win on doc_id order)
-            acc = 0.0
-            pivot_idx = -1
-            for i, (_, t) in enumerate(live):
-                acc += ubs[t]
-                if acc >= threshold or len(heap) < k:
-                    pivot_idx = i
-                    break
-            if pivot_idx < 0:
-                break  # no doc can beat the threshold
-            pivot_doc = live[pivot_idx][0]
-            if live[0][0] == pivot_doc:
-                # fully evaluate pivot_doc
-                s = tt = bb = 0.0
-                for d, t in live:
-                    p = ptrs[t]
-                    if p < lens[t] and term_docs[t][p] == pivot_doc:
-                        s += term_scores[t][p]
-                        tt += term_title[t][p]
-                        bb += term_body[t][p]
-                        ptrs[t] += 1
-                entry = (s, _InvStr(pivot_doc), pivot_doc, tt, bb)
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                elif entry[:2] > heap[0][:2]:
-                    heapq.heapreplace(heap, entry)
-                if len(heap) == k:
-                    threshold = heap[0][0]
-            else:
-                # advance all terms before the pivot to >= pivot_doc
-                for d, t in live[:pivot_idx]:
-                    arr = term_docs[t]
-                    ptrs[t] += int(
-                        np.searchsorted(arr[ptrs[t]:], pivot_doc, side="left")
-                    )
-        rows = [
-            {"doc_id": d, "title_rank": tt, "body_rank": bb, "score": s}
-            for (s, _inv, d, tt, bb) in heap
-        ]
-        return pd.DataFrame(rows, columns=["doc_id", "title_rank", "body_rank", "score"])
-
-    return kernel
-
 
 def _score_bucket_vectorized(k: int):
     """Vectorized exact per-bucket top-k: factorize doc ids once, then a
@@ -191,8 +86,9 @@ def _score_bucket_vectorized(k: int):
     — and a bincount accumulates a posting in ~1ns vs ~1us per iteration
     of the pointer-chasing loop. Pruning would have to skip >99.9% of
     postings to win; on hot terms (df ~ 80%) it skips almost nothing.
-    The DAAT kernel (_wand_bucket) is retained as kernel='daat' — both
-    are exact and asserted equal to the exhaustive scorer in tests."""
+    The classic DAAT heap kernel survives only as the test-side parity
+    oracle (tests/daat_reference.py) — both are exact and asserted
+    equal to the exhaustive scorer in tests."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["doc_id", "title_rank", "body_rank", "score"]
@@ -238,7 +134,7 @@ def wand_topk(
     k: int | None = None,
     n_buckets: int = 16,
     pagerank: DataFrame | None = None,
-    kernel: str = "taat",
+    kernel="taat",
 ) -> DataFrame:
     """Exact top-k for a bag of free terms via distributed block-max WAND.
 
@@ -281,7 +177,7 @@ def _wand_from_hits(
     k: int,
     n_buckets: int,
     pagerank: DataFrame | None,
-    kernel: str = "taat",
+    kernel="taat",
 ) -> DataFrame:
     """Shared tail of the WAND paths: ``hits`` must carry
     (doc_id, field, qterm_id, qtf, contrib)."""
@@ -305,13 +201,14 @@ def _wand_from_hits(
         .otherwise(F.lit(0.0))
         .alias("body_c"),
     )
-    if kernel == "daat":
-        # a doc can hit the same query term in BOTH fields: collapse to
-        # one posting per (doc, qterm) so document-at-a-time sees one
-        # cursor each. The vectorized kernel's scatter-add collapses
-        # duplicates natively, so it skips this whole shuffle — posting
-        # rows flow straight into the bucket partitioning (halves the
-        # query path's shuffle volume).
+    if callable(kernel):
+        # an injected reference kernel (tests/daat_reference.py) walks
+        # document-at-a-time and needs ONE cursor per (doc, qterm): a
+        # doc can hit the same query term in BOTH fields, so collapse
+        # first. The vectorized kernel's scatter-add collapses
+        # duplicates natively, so the production path skips this whole
+        # shuffle — posting rows flow straight into the bucket
+        # partitioning (halves the query path's shuffle volume).
         per_doc_term = per_posting.groupBy("doc_id", "qterm_id").agg(
             F.sum("blended").alias("contrib"),
             F.sum("title_c").alias("title_c"),
@@ -345,14 +242,23 @@ def _wand_from_hits(
         "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
     long_keys = dict(hits.dtypes).get("doc_id") == "bigint"
-    if long_keys and kernel == "daat":
+    if callable(kernel):
+        # parity-test injection point; reference kernels tie-break on
+        # string doc_ids, so dense long keys are refused loudly
+        if long_keys:
+            raise ValueError(
+                "injected reference kernels tie-break on string doc_ids; "
+                "dense long keys require the vectorized kernel"
+            )
+        bucket_kernel = kernel(cfg, k)
+    elif kernel == "taat":
+        bucket_kernel = _score_bucket_vectorized(k)
+    else:
         raise ValueError(
-            "the DAAT kernel tie-breaks on string doc_ids; dense long "
-            "keys require the vectorized kernel (kernel='taat')"
+            "only the vectorized kernel ships in the engine; pass a "
+            "callable (cfg, k) -> (pdf -> pdf) factory to inject a "
+            "reference kernel (see tests/daat_reference.py)"
         )
-    bucket_kernel = (
-        _wand_bucket(cfg, k) if kernel == "daat" else _score_bucket_vectorized(k)
-    )
     local = bucketed.groupBy("doc_bucket").applyInPandas(
         bucket_kernel, _OUT_SCHEMA_LONG if long_keys else _OUT_SCHEMA
     )
@@ -591,7 +497,7 @@ def wand_topk_from_shards(
     k: int | None = None,
     n_buckets: int = 16,
     pagerank: DataFrame | None = None,
-    kernel: str = "taat",
+    kernel="taat",
     dense_keys: bool = False,
     meta_cache: dict | None = None,
     two_phase: bool = False,

@@ -26,9 +26,14 @@ def _exhaustive(spark, index_small, query, k, pagerank=None):
     return search(spark, index_small, query, DEFAULT, pagerank=pagerank, k=k).collect()
 
 
-@pytest.mark.parametrize("kernel", ["taat", "daat"])
+@pytest.mark.parametrize("kernel", ["taat", "daat_reference"])
 @pytest.mark.parametrize("query", TERM_QUERIES)
 def test_wand_matches_exhaustive(spark, index_small, query, kernel):
+    # the per-row DAAT heap kernel is a TEST-ONLY parity oracle — it is
+    # injected as a callable and must not be reachable by name from any
+    # production path (a string other than 'taat' raises)
+    if kernel == "daat_reference":
+        from daat_reference import make_daat_kernel as kernel
     k = 20
     terms, _ = parse_query(query)
     want = _exhaustive(spark, index_small, query, k)
@@ -131,7 +136,16 @@ def test_wand_from_shards_dense_keys(spark, corpus_small, index_small):
             assert g["score"] == pytest.approx(w["score"], rel=1e-9)
     import pytest as _pt
 
+    from daat_reference import make_daat_kernel
+
     with _pt.raises(ValueError):
+        # injected reference kernels tie-break on strings -> refused
+        wand_topk_from_shards(
+            spark, shards, doc_map, ["parse"], DEFAULT, k=5,
+            dense_keys=True, kernel=make_daat_kernel,
+        ).collect()
+    with _pt.raises(ValueError, match="vectorized kernel"):
+        # no per-row kernel is reachable by NAME from production paths
         wand_topk_from_shards(
             spark, shards, doc_map, ["parse"], DEFAULT, k=5,
             dense_keys=True, kernel="daat",
