@@ -8,9 +8,11 @@ inflate + all five scanline unfilters, 8-bit gray/GA/RGB/RGBA), with an
 encoder inverse (encode_png) for deterministic synthetic bitmaps —
 round-trip and per-filter gated in tests/test_streaming.py. Other image
 formats (JPEG, …) go through PIL when importable and otherwise raise
-the honest NotImplementedError; audio/video codecs are not wired
-(undecodable payloads raise, never fake); fake_decode remains the
-hash-derived stand-in for plumbing tests.
+the honest NotImplementedError. RIFF/WAVE audio decodes for REAL too
+(decode_wav: PCM 8/16-bit, any channel count, pad-byte-correct chunk
+walk, with encode_wav as the bit-exact inverse); video codecs are not
+wired (undecodable payloads raise, never fake); fake_decode remains
+the hash-derived stand-in for plumbing tests.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 chunks each incoming Arrow batch by payload-byte budget
@@ -238,16 +240,114 @@ def png_features(pixels: np.ndarray) -> np.ndarray:
     )
 
 
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Minimal RIFF/WAVE writer — 16-bit PCM, any channel count.
+    ``samples``: int16 array, shape (n,) or (n, channels). The inverse
+    that proves decode_wav bit-exact in tests (same role encode_png
+    plays for the image codec)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.reshape(-1).tobytes()  # interleaved frames
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib RIFF/WAVE decoder — PCM 8-bit (unsigned) and 16-bit
+    (signed little-endian), any channel count, chunk-walking with the
+    RIFF odd-size pad byte honored. Returns (samples int16 (n, ch),
+    sample_rate); 8-bit input is widened to int16 ((x-128)<<8)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    ch = sample_rate = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, ch, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if audio_fmt != 1:
+                raise NotImplementedError("only PCM WAV supported")
+            if bits not in (8, 16):
+                raise NotImplementedError("only 8/16-bit PCM supported")
+        elif tag == b"data":
+            data = chunk
+    if ch is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        arr = np.frombuffer(data[: len(data) - (len(data) % (2 * ch))],
+                            dtype="<i2").astype(np.int16)
+    else:
+        arr = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128)
+               << 8)
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch), int(sample_rate)
+
+
+def wav_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Deterministic 8-dim audio feature, all ~[0, 1]: RMS, mean |x|,
+    zero-crossing rate, first-difference energy (spectral-flux proxy),
+    peak, std, channels/8, min(duration/60s, 1)."""
+    x = samples.astype(np.float64) / 32768.0
+    n, ch = x.shape
+    mono = x.mean(axis=1)
+    zc = (
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if n > 1
+        else 0.0
+    )
+    flux = float(np.abs(np.diff(mono)).mean()) if n > 1 else 0.0
+    return np.array(
+        [
+            float(np.sqrt((x ** 2).mean())),
+            float(np.abs(x).mean()),
+            zc,
+            flux,
+            float(np.abs(x).max()) if n else 0.0,
+            float(x.std()),
+            ch / 8.0,
+            min(n / sample_rate / 60.0, 1.0) if sample_rate else 0.0,
+        ],
+        dtype=np.float32,
+    )
+
+
 def real_decode(payload: bytes):
     """Real decode slot: PNG bytes decode through the built-in
-    pure-stdlib codec (decode_png); other image formats go through PIL
-    when importable and otherwise raise the honest NotImplementedError.
-    Audio/video payloads have no codec wired — they surface as
-    ValueError (undecodable), never a silent fake."""
+    pure-stdlib codec (decode_png) and RIFF/WAVE audio through
+    decode_wav (audio rows report (channels, sample_rate) in the
+    (width, height) slots and sample count as n_frames); other image
+    formats go through PIL when importable and otherwise raise the
+    honest NotImplementedError. Video payloads have no codec wired —
+    they surface as ValueError (undecodable), never a silent fake."""
     if payload[:8] == PNG_MAGIC:
         px = decode_png(payload)
         h, w, _ch = px.shape
         return w, h, 1, png_features(px)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, sr = decode_wav(payload)
+        n, ch = samples.shape
+        return ch, sr, n, wav_features(samples, sr)
     try:
         from PIL import Image  # noqa: F401
         import io

@@ -365,3 +365,98 @@ def test_compact_after_stream(spark, docs_tiny, tmp_path):
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     for x, y in zip(a, b):
         assert x["score"] == pytest.approx(y["score"], rel=1e-9)
+
+
+def test_wav_codec_roundtrip():
+    """Pure-stdlib WAV codec: 16-bit PCM round-trips bit-exact for mono
+    through 4-channel; 8-bit payloads (hand-packed, odd data length ->
+    pad byte) decode with the documented widening."""
+    import struct
+
+    import numpy as np
+
+    from spaghettisearch_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    for ch in (1, 2, 4):
+        rng = np.random.RandomState(40 + ch)
+        s = rng.randint(-32768, 32768, size=(101, ch)).astype(np.int16)
+        out, sr = decode_wav(encode_wav(s, sample_rate=8000 + ch))
+        assert sr == 8000 + ch
+        assert out.shape == s.shape
+        assert np.array_equal(out, s), ch
+    # 8-bit mono, ODD byte count: the data chunk gets a RIFF pad byte,
+    # and a trailing chunk after it must still parse
+    raw = bytes([0, 127, 128, 255, 200])
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw + b"\x00"  # pad
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, sr = decode_wav(payload)
+    assert sr == 4000
+    want = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8)[
+        :, None
+    ]
+    assert np.array_equal(out, want)
+    # loud failure on non-PCM
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 4000, 16000, 4, 32)  # float
+    bad = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(bad)
+
+
+def test_wav_real_decode_through_spark(spark):
+    """real_decode handles RIFF/WAVE natively: synthetic tones encode
+    driver-side, decode inside mapInPandas, and the audio features match
+    the local computation; (channels, sample_rate, n_samples) land in
+    the (width, height, n_frames) slots as documented."""
+    import numpy as np
+
+    from spaghettisearch_spark.operators.multimodal import (
+        encode_wav,
+        extract_media_features,
+        real_decode,
+        wav_features,
+    )
+
+    rows, want = [], {}
+    for i in range(4):
+        rng = np.random.RandomState(2000 + i)
+        ch = 1 + i % 2
+        n = 500 + 37 * i
+        t = np.arange(n * ch).reshape(n, ch)
+        s = (
+            10000 * np.sin(t / (3.0 + i))
+            + rng.randint(-500, 500, size=(n, ch))
+        ).astype(np.int16)
+        sr = 8000 * (1 + i % 3)
+        rows.append((f"a{i}", bytearray(encode_wav(s, sr))))
+        want[f"a{i}"] = (ch, sr, n, wav_features(s, sr))
+    media = spark.createDataFrame(
+        rows, "doc_id string, payload binary"
+    ).withColumn(
+        "media",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("audio/wav").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in extract_media_features(media, decode=real_decode).collect()
+    }
+    assert set(got) == set(want)
+    for d, (ch, sr, n, feat) in want.items():
+        g = got[d]
+        assert (g["width"], g["height"], g["n_frames"]) == (ch, sr, n)
+        assert g["feature"] == pytest.approx(list(feat), rel=1e-6)
