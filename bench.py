@@ -426,6 +426,11 @@ def main() -> None:
     hot_bag = ["zw00000", "zw00001", "zw00002"]
     mid_bag = ["zw00000", "zw00150", "zw02500"]
     rarehot_bag = ["zw00000", "zw02500"]  # hot + rare: candidate pruning
+    # hot + MID-tail (df >> sample size, so the mid group is
+    # sample-INCOMPLETE): pruning here needs the round-5 sample-minimum
+    # unsampled-doc bound — the global-max bound provably never fires on
+    # this shape (hot max alone exceeds any k-th partial)
+    midtail_bag = ["zw00000", "zw00500"]
 
     def zq(bag, meta=zmeta, sh=None, two_phase=False, k=50):
         return wand_topk_from_shards(
@@ -435,7 +440,8 @@ def main() -> None:
 
     # hard exactness gate before timing anything
     for bag, k in (
-        (hot_bag, 50), (mid_bag, 50), (["zw00000"], 50), (rarehot_bag, 10)
+        (hot_bag, 50), (mid_bag, 50), (["zw00000"], 50), (rarehot_bag, 10),
+        (midtail_bag, 10),
     ):
         exh = [
             r["doc_id"]
@@ -454,6 +460,7 @@ def main() -> None:
         # postings survive the decode (at 10^12 files this is the
         # difference between shuffling the hot term's df and ~k*blocks)
         ("rarehot_k10", rarehot_bag, 10),
+        ("midtail_k10", midtail_bag, 10),
     ):
         timings[f"zipf_q_wand_shards_{name}"] = best_of(
             lambda bag=bag, k=k: zq(bag, k=k).collect(), n=reps
@@ -708,6 +715,21 @@ def main() -> None:
             lambda: zlq(rarehot_l, k=10).collect(), n=reps
         )
         skip_stats["zipfL_rarehot_k10"] = dict(wand_mod.LAST_SKIP_STATS)
+        # hot + mid-tail (mid group sample-INCOMPLETE at this scale):
+        # admissible only under the sample-minimum unsampled-doc bound
+        midtail_l = ["zw00000", "zw00500"]
+        exh_mt = [
+            r["doc_id"]
+            for r in search(
+                spark, zlidx, " ".join(midtail_l), zcfg, k=10
+            ).collect()
+        ]
+        got_mt = [r["doc_id"] for r in zlq(midtail_l, k=10).collect()]
+        assert got_mt == exh_mt, "zipfL midtail != exhaustive"
+        timings["zipfL_q_midtail_k10"] = best_of(
+            lambda: zlq(midtail_l, k=10).collect(), n=reps
+        )
+        skip_stats["zipfL_midtail_k10"] = dict(wand_mod.LAST_SKIP_STATS)
         for f_ in (zldocs, zlidx.postings, zldim, zlshards, zldelta,
                    zlbase, zlrd, zlmap):
             f_.unpersist()

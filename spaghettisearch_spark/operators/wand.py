@@ -368,8 +368,13 @@ def plan_blocks(
     its top-N sample IS its whole posting list — and a (term, field)
     group all of whose blocks are complete contributes ZERO to any doc
     outside the sampled keys. So a doc appearing in NO block's sample
-    scores at most U_out = sum of the INCOMPLETE groups' max blended
-    weights + extra_ub. When U_out < threshold, every top-k doc is
+    scores at most U_out = sum over the INCOMPLETE groups of the max,
+    over each group's incomplete blocks, of the block's MINIMUM sampled
+    blended weight, + extra_ub (admissible because samples are each
+    block's top-N postings by weight and salt assigns a doc's posting
+    in a group to exactly one block — an unsampled doc therefore sits
+    under some incomplete block's sample minimum, which is far below
+    the hot term's global max_weight). When U_out < threshold, every top-k doc is
     provably among the sampled keys, and the decode can drop all other
     postings: computed scores stay exact for candidates (only
     non-candidate rows are dropped, and block skipping already
@@ -394,20 +399,32 @@ def plan_blocks(
     # sub-range triples (lo, hi, max) for the range-aware cross bound
     partials: dict[int, float] = {}
     tri: dict[tuple[str, str], tuple[list, list, list]] = {}
-    group_ub: dict[tuple[str, str], float] = {}
+    unsampled_ub: dict[tuple[str, str], float] = {}
     incomplete: set[tuple[str, str]] = set()
     for r in meta_rows:
         f = factor(r["field"], r["term"])
         key = (r["term"], r["field"])
         ub = float(r["max_weight"]) * f
-        if ub > group_ub.get(key, 0.0):
-            group_ub[key] = ub
         try:
             df = r["df"]
         except (ValueError, KeyError):
             df = None
         if df is None or int(df) > BLOCK_SAMPLE_N:
             incomplete.add(key)
+            # samples are the block's top-N postings BY WEIGHT
+            # (compression.py argsort(-weights)[:N]), so a doc NOT in
+            # this block's sample weighs at most the sample's minimum —
+            # a much tighter unsampled-doc bound than max_weight. Salt
+            # partitions a (term, field) group by doc, so an unsampled
+            # doc's posting lives in exactly one (necessarily
+            # incomplete) block: bound the group by the max over its
+            # incomplete blocks' sample minima.
+            tw = r["top_weights"] or []
+            blk_ub = (
+                float(min(tw)) * f if len(tw) >= BLOCK_SAMPLE_N else ub
+            )
+            if blk_ub > unsampled_ub.get(key, 0.0):
+                unsampled_ub[key] = blk_ub
         for dk, w in zip(r["top_doc_keys"] or [], r["top_weights"] or []):
             partials[dk] = partials.get(dk, 0.0) + float(w) * f
         los, his, ms = tri.setdefault(key, ([], [], []))
@@ -480,7 +497,7 @@ def plan_blocks(
     # best case (incomplete groups' maxima + PR mass) provably misses
     # the threshold
     cand: list[int] | None = None
-    u_out = sum(group_ub[g] for g in incomplete) + extra_ub
+    u_out = sum(unsampled_ub[g] for g in incomplete) + extra_ub
     if u_out < threshold:
         cand = sorted(
             {dk for r in meta_rows for dk in (r["top_doc_keys"] or [])}

@@ -540,6 +540,79 @@ def test_candidate_doc_pruning(spark):
     shards.unpersist()
 
 
+def test_candidate_pruning_sample_min_bound(spark):
+    """The unsampled-doc bound uses each incomplete block's MINIMUM
+    sampled weight (samples are the block's top-N by weight, and salt
+    maps a doc's posting in a group to exactly one block), not the
+    group's global max_weight. On a steeply-decaying hot term the two
+    differ by ~30x: the old global-max bound provably cannot fire here
+    (hot max 100 > any k-th partial), while the sample-min bound does —
+    and results stay exact vs the python oracle."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.compression import (
+        BLOCK_SAMPLE_N,
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    cfg = DEFAULT
+    n = 1000
+    docs = [f"d{i:04d}" for i in range(n)]
+    # hot term in every doc, weight 100/(i+1): group max 100, but the
+    # top impact-ordered block's 32-sample minimum is ~100/32 ~ 3 — the
+    # gap the sample-min bound exploits
+    rows = [
+        ("hotterm", "body", d, 1, [0], 100.0 / (i + 1))
+        for i, d in enumerate(docs)
+    ]
+    rows += [("raresig", "body", d, 1, [1], 10.0) for d in docs[5:13]]
+    postings = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, weight double",
+    )
+    ids = spark.createDataFrame([(d,) for d in docs], "doc_id string")
+    dim = build_doc_dim(ids).cache()
+    dim.count()
+    shards = build_posting_shards(
+        postings, n, cfg, doc_dim=dim, weight_col="weight"
+    ).cache()
+    meta = shards.filter(F.col("term") == "hotterm").select(
+        "df", "max_weight", "top_weights"
+    ).collect()
+    assert any(int(r["df"]) > BLOCK_SAMPLE_N for r in meta)
+    # the old bound (group max) provably exceeds any admissible
+    # threshold here, so only the sample-min bound can let pruning fire
+    group_max = max(float(r["max_weight"]) for r in meta)
+    sample_min_ub = max(
+        min(r["top_weights"])
+        for r in meta
+        if int(r["df"]) > BLOCK_SAMPLE_N
+    )
+    assert sample_min_ub * 20 < group_max, (sample_min_ub, group_max)
+    doc_map = dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    got = wand_topk_from_shards(
+        spark, shards, doc_map, ["raresig", "hotterm"], cfg, k=5,
+        dense_keys=True,
+    ).collect()
+    stats = dict(wand_mod.LAST_SKIP_STATS)
+    assert 0 < stats["cand_docs"] < n, stats
+    score = defaultdict(float)
+    for _t, _f, d, _tf, _p, w in rows:
+        score[d] += cfg.w_body * cfg.blend_scale * w
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_d, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    dim.unpersist()
+    shards.unpersist()
+
+
 def test_wand_from_warehouse_shards_dense_ids(spark, docs_small, tmp_path):
     """Pipeline shards use dense doc_idx keys; shard-backed WAND from the
     warehouse == exhaustive scoring on the same index."""
