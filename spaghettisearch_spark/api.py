@@ -187,6 +187,10 @@ class SearchEngine:
                     self.spark, self.shards, self.doc_map, terms, self.cfg,
                     k=k, pagerank=pr, dense_keys=True,
                     meta_cache=self.meta_cache, pr_max_key=pr_key,
+                    # planner decides per query whether the exact-floor
+                    # wave pays (kept posting volume vs
+                    # cfg.two_phase_auto_min_postings)
+                    two_phase="auto",
                 )
             else:
                 from .operators.bm25 import search_from_shards

@@ -47,6 +47,26 @@ class EngineConfig:
     # weights (compression.py build_posting_shards)
     salt_df_threshold: float = 0.10
     n_salts: int = 16
+    # ABSOLUTE per-block posting bound: quantile buckets cap a block at
+    # ~df/n_salts, which is still unbounded as df grows (a stopword at
+    # 10^12 docs would put ~6e10 postings through one collect_list
+    # task). Any group — hot-quantile bucket OR cold single block —
+    # whose expected size exceeds this target is further doc-hash-split
+    # into ceil(size/target) sub-salts, so no encode task ever
+    # materializes more than ~this many postings regardless of corpus
+    # size. Default is far above the test/bench corpora (which stay
+    # byte-identical); production at 10^12 docs would set ~1e6.
+    block_target_postings: int = 65536
+    # two_phase="auto" threshold: run the exact-floor wave only when the
+    # single-phase plan would decode at least this many postings. The
+    # wave costs one fixed extra job (scheduler round + key-stream
+    # decode, transferring only |samples| rows) and pays off in skipped
+    # decode volume (~25% of blocks on the measured hot bag) — so it is
+    # profitable exactly when kept posting volume is large. The default
+    # keeps auto OFF for the local test/bench corpora (where the job
+    # overhead dominates, measured 2.1 s vs 1.3 s) and ON in the
+    # long-posting-list regime the operator exists for.
+    two_phase_auto_min_postings: int = 200_000
 
     # stemming on/off (oracle SQL path runs unstemmed)
     stem: bool = True

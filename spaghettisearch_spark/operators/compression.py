@@ -21,14 +21,19 @@ Skew: a groupBy(term).collect_list over 10^12 files puts a hot term's
 whole posting list through one reducer. Hot terms (df above
 ``salt_df_threshold`` fraction of docs) are salted into ``n_salts``
 sub-groups — each sub-group compresses independently into its own row
-(a posting-list *block*, exactly what block-max WAND wants), so no
-single task ever materializes an unbounded group. Since round 4 the
-salt is the WEIGHT-QUANTILE bucket (impact-ordered blocks: maxima decay
-across a term's blocks, so the skip planner can exclude the low-impact
-tail), with a per-group fallback to doc-hash salting when the weight
-distribution is too tied for distinct quantile bounds. Cold terms take
-the single-group path. This is the explicit two-phase pattern the north
-rule demands; AQE skew-join handles residual runtime skew.
+(a posting-list *block*, exactly what block-max WAND wants). Since
+round 4 the salt is the WEIGHT-QUANTILE bucket (impact-ordered blocks:
+maxima decay across a term's blocks, so the skip planner can exclude
+the low-impact tail), with a per-group fallback to doc-hash salting
+when the weight distribution is too tied for distinct quantile bounds.
+Cold terms take the single-group path. Since round 5 the bound is
+ABSOLUTE, not relative: any group whose expected block exceeds
+``block_target_postings`` (a hot quantile bucket at ~df/n_salts, or a
+cold group near the hot threshold) is further doc-hash-split into
+ceil(size/target) sub-salts — so no single task materializes an
+unbounded group at ANY corpus size, which df/n_salts alone cannot
+guarantee. This is the explicit two-phase pattern the north rule
+demands; AQE skew-join handles residual runtime skew.
 
 Encoding is numpy-vectorized: groups form JVM-side (groupBy +
 collect_list partial aggregation — Python never pays a per-group
@@ -313,7 +318,37 @@ def build_posting_shards(
         gstats = gstats.withColumn(
             "qb", F.lit(None).cast(T.ArrayType(T.DoubleType()))
         )
-    qb = gstats.filter(F.col("_df") > threshold).select("term", "field", "qb")
+    # ABSOLUTE block-size bound on top of the quantile split: a hot
+    # bucket still holds ~df/n_salts postings — unbounded as df grows —
+    # and a barely-cold group holds up to salt_df_threshold * n_docs.
+    # Groups whose expected block exceeds cfg.block_target_postings are
+    # doc-hash-split into ceil(size/target) sub-salts (hot: per quantile
+    # bucket; cold: over the whole group), so no collect_list task ever
+    # materializes more than ~target postings at ANY corpus size. Under
+    # the default target the test/bench corpora produce sub == 1 and the
+    # salt values — hence the encoded bytes — are identical to the
+    # pre-bound layout.
+    target = max(int(cfg.block_target_postings), 1)
+    qb = (
+        gstats.filter((F.col("_df") > threshold) | (F.col("_df") > target))
+        .select(
+            "term",
+            "field",
+            F.when(F.col("_df") > threshold, F.col("qb")).alias("qb"),
+            F.when(
+                F.col("_df") > threshold,
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("_df") / F.lit(cfg.n_salts * target)),
+                ),
+            )
+            .otherwise(
+                F.greatest(F.lit(1), F.ceil(F.col("_df") / F.lit(target)))
+            )
+            .cast("int")
+            .alias("sub"),
+        )
+    )
 
     if "doc_key" in postings.columns:
         pass  # caller pre-keyed (merge path re-encoding decoded blocks)
@@ -329,12 +364,23 @@ def build_posting_shards(
         .join(F.broadcast(qb), ["term", "field"], "left")
         .withColumn(
             "salt",
-            F.when(F.col("qb").isNull(), F.lit(0))
+            # join miss: small cold group, single block
+            F.when(F.col("sub").isNull(), F.lit(0))
+            # hot + distinct quantile bounds: impact bucket, doc-hash
+            # sub-split within the bucket (sub == 1 -> pure bucket id)
             .when(
-                F.size(F.array_distinct("qb")) == cfg.n_salts - 1,
-                F.size(F.expr("filter(qb, b -> weight > b)")),
+                F.col("qb").isNotNull()
+                & (F.size(F.array_distinct("qb")) == cfg.n_salts - 1),
+                F.size(F.expr("filter(qb, b -> weight > b)")) * F.col("sub")
+                + F.pmod(F.col("doc_key"), F.col("sub")),
             )
-            .otherwise(F.pmod(F.col("doc_key"), F.lit(cfg.n_salts)))
+            # hot degenerate ties: doc-hash over all n_salts * sub blocks
+            .when(
+                F.col("qb").isNotNull(),
+                F.pmod(F.col("doc_key"), F.lit(cfg.n_salts) * F.col("sub")),
+            )
+            # cold but oversized (df > target): doc-hash sub-split
+            .otherwise(F.pmod(F.col("doc_key"), F.col("sub")))
             .cast("int"),
         )
         .select("term", "field", "shard", "salt", "doc_key", "tf", "positions", "weight")

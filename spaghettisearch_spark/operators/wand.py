@@ -285,7 +285,9 @@ def _wand_from_hits(
 # telemetry from the latest wand_topk_from_shards call: how many blocks
 # the skip planner kept vs saw (tests assert kept < total on skewed
 # data), and the doc-level candidate count (-1 = pruning not admissible)
-LAST_SKIP_STATS: dict[str, int] = {"total": 0, "kept": 0, "cand_docs": -1}
+LAST_SKIP_STATS: dict[str, int] = {
+    "total": 0, "kept": 0, "cand_docs": -1, "two_phase": 0,
+}
 
 # reserved meta_cache key for the cached PageRank blend maximum (terms
 # never contain NUL, so this cannot shadow a term's metadata entry)
@@ -517,7 +519,7 @@ def wand_topk_from_shards(
     kernel="taat",
     dense_keys: bool = False,
     meta_cache: dict | None = None,
-    two_phase: bool = False,
+    two_phase: bool | str = False,
     pr_max_key: str = _PR_MAX_KEY,
 ) -> DataFrame:
     """Exact top-k straight from the compressed posting shards: pruned
@@ -540,7 +542,13 @@ def wand_topk_from_shards(
     |samples| rows, so it's opt-in: right for long posting lists at
     scale, wrong for latency-bound tiny corpora. Exactness argument is
     plan_blocks', unchanged: both thresholds are lower bounds on the
-    true k-th score.
+    true k-th score. ``two_phase="auto"`` lets the planner decide per
+    query: the wave runs only when the single-phase plan would decode
+    at least ``cfg.two_phase_auto_min_postings`` postings (the kept
+    blocks' summed df, already on the driver) — the serving facade's
+    default, so tiny corpora never pay the extra job and long posting
+    lists always get the tighter plan. The decision is recorded in
+    ``LAST_SKIP_STATS["two_phase"]``.
 
     This is the north-rule query path at scale: the scan touches only
     the |terms| shard partitions (``shard = hash60(term) % n_shards``
@@ -650,7 +658,26 @@ def wand_topk_from_shards(
             extra_ub = cfg.w_pagerank * cfg.blend_scale * float(pr_max or 0.0)
         qtf_map = {t: float(counts[t]) for t in term_list}
         keep, _thr, cand_keys = plan_blocks(meta, cfg, qtf_map, k, extra_ub)
-        if two_phase and meta:
+        if two_phase == "auto":
+            # decide from the plan itself: the kept blocks' total df IS
+            # the decode volume the exact-floor wave can cut, and it is
+            # already on the driver — no extra action. Below the
+            # threshold the wave's fixed job cost dominates any saving
+            # (the measured local regime); above it, skipped posting
+            # volume grows with the corpus while the wave cost stays
+            # O(|samples| x |groups|).
+            kept_df = 0
+            for r in meta:
+                if (r["term"], r["field"], int(r["salt"])) in keep:
+                    try:
+                        kept_df += int(r["df"] or 0)
+                    except (ValueError, KeyError):
+                        pass
+            run_wave = kept_df >= cfg.two_phase_auto_min_postings
+        else:
+            run_wave = bool(two_phase)
+        LAST_SKIP_STATS["two_phase"] = int(run_wave)
+        if run_wave and meta:
             # wave 1: exact scores for every SAMPLED doc — decode all
             # query-term blocks restricted to the sample-union keys, so
             # each sampled doc's cross-term score is complete (vs the

@@ -138,3 +138,101 @@ def test_shard_roundtrip_property(spark, postings_spec):
         for (term, doc), (tf, pos, w) in seen.items()
     }
     assert got == want
+
+def test_absolute_block_bound(spark):
+    """``block_target_postings`` bounds every encode group ABSOLUTELY
+    (the quantile split alone caps blocks at ~df/n_salts, which grows
+    with the corpus): a hot term's quantile buckets and a cold-but-large
+    group both doc-hash sub-split once their expected size passes the
+    target; the decoded multiset is unchanged, shard-backed WAND stays
+    exact, and under the default target the (term, field, salt, df)
+    layout is identical to the unbounded one."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.config import DEFAULT
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+        decode_shards,
+    )
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    n = 2000
+    docs = [f"d{i:05d}" for i in range(n)]
+    rows = [
+        ("hh", "body", d, 1, [0], 1.0 + i * 0.001)  # hot: df == n
+        for i, d in enumerate(docs)
+    ]
+    rows += [
+        ("cc", "body", d, 1, [1], 5.0 + i * 0.01)  # cold but > target
+        for i, d in enumerate(docs[:150])
+    ]
+    rows += [("ss", "body", d, 1, [2], 9.0) for d in docs[:10]]  # small
+    postings = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, weight double",
+    )
+    dim = build_doc_dim(
+        spark.createDataFrame([(d,) for d in docs], "doc_id string")
+    ).cache()
+    dim.count()
+    cfg = replace(DEFAULT, block_target_postings=32)
+    shards = build_posting_shards(
+        postings, n, cfg, doc_dim=dim, weight_col="weight"
+    ).cache()
+    meta = shards.select("term", "field", "salt", "df").collect()
+    by_term: dict = {}
+    for r in meta:
+        by_term.setdefault(r["term"], []).append(int(r["df"]))
+    # hot: 16 quantile buckets x ceil(2000/(16*32))=4 sub-salts
+    assert len(by_term["hh"]) == 64, sorted(by_term["hh"])
+    # cold oversized: ceil(150/32)=5 doc-hash blocks
+    assert len(by_term["cc"]) == 5, by_term["cc"]
+    assert len(by_term["ss"]) == 1
+    # the bound holds with doc-hash slack
+    assert max(by_term["hh"]) <= 2 * 32, max(by_term["hh"])
+    assert max(by_term["cc"]) <= 2 * 32, max(by_term["cc"])
+    # round-trip: decoded multiset == input
+    got = {
+        (r["term"], r["doc_key"], r["tf"], round(r["weight"], 6),
+         tuple(r["positions"]))
+        for r in decode_shards(shards).collect()
+    }
+    idx_of = {
+        r["doc_id"]: r["doc_idx"] for r in dim.collect()
+    }
+    want = {
+        (t, idx_of[d], tf, round(w, 6), tuple(p))
+        for t, _f, d, tf, p, w in rows
+    }
+    assert got == want
+    # WAND over sub-split blocks == python oracle
+    doc_map = dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    res = wand_topk_from_shards(
+        spark, shards, doc_map, ["hh", "cc"], cfg, k=5, dense_keys=True
+    ).collect()
+    score: dict = {}
+    for t, _f, d, _tf, _p, w in rows:
+        if t in ("hh", "cc"):
+            score[d] = score.get(d, 0.0) + cfg.w_body * cfg.blend_scale * w
+    top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["doc_id"] for r in res] == [d for d, _ in top]
+    # default target: sub == 1 everywhere here -> layout identical to a
+    # build with the bound effectively off
+    base = build_posting_shards(
+        postings, n, DEFAULT, doc_dim=dim, weight_col="weight"
+    )
+    huge = build_posting_shards(
+        postings, n, replace(DEFAULT, block_target_postings=1 << 40),
+        doc_dim=dim, weight_col="weight",
+    )
+    key = lambda df_: sorted(
+        (r["term"], r["field"], int(r["salt"]), int(r["df"]))
+        for r in df_.select("term", "field", "salt", "df").collect()
+    )
+    assert key(base) == key(huge)
+    dim.unpersist()
+    shards.unpersist()

@@ -636,3 +636,46 @@ def test_wand_from_warehouse_shards_dense_ids(spark, docs_small, tmp_path):
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
         for g, w in zip(got, want):
             assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+def test_two_phase_auto(spark, docs_small, tmp_path):
+    """``two_phase="auto"``: the planner itself decides whether the
+    exact-floor wave pays, from metadata it already holds (total kept
+    posting volume vs ``two_phase_auto_min_postings``). On a small
+    corpus auto stays single-phase (the extra job would dominate); with
+    the threshold forced to 0 auto runs the wave — both exact, and the
+    decision is observable in LAST_SKIP_STATS."""
+    from dataclasses import replace
+
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.bm25 import search
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+    from spaghettisearch_spark.plans.build_pipeline import build_all
+
+    wh = str(tmp_path / "wh")
+    built = build_all(
+        spark, spark.createDataFrame(docs_small.head(150)), wh,
+        with_pagerank=False,
+    )
+    idx = built.load(spark)
+    shards = built.shards(spark)
+    doc_map = built.doc_map(spark)
+    terms, _ = parse_query("dispatch buffer parse")
+    want = [
+        r["doc_id"]
+        for r in search(spark, idx, "dispatch buffer parse", DEFAULT, k=10).collect()
+    ]
+    got = wand_topk_from_shards(
+        spark, shards, doc_map, terms, DEFAULT, k=10, dense_keys=True,
+        two_phase="auto",
+    ).collect()
+    assert [r["doc_id"] for r in got] == want
+    assert wand_mod.LAST_SKIP_STATS["two_phase"] == 0  # volume below threshold
+    kept_1p = wand_mod.LAST_SKIP_STATS["kept"]
+    eager = replace(DEFAULT, two_phase_auto_min_postings=0)
+    got2 = wand_topk_from_shards(
+        spark, shards, doc_map, terms, eager, k=10, dense_keys=True,
+        two_phase="auto",
+    ).collect()
+    assert [r["doc_id"] for r in got2] == want
+    assert wand_mod.LAST_SKIP_STATS["two_phase"] == 1  # wave 1 ran
+    assert wand_mod.LAST_SKIP_STATS["kept"] <= kept_1p
