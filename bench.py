@@ -28,6 +28,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import functions as F
 
 
+def _no_floor(cache: dict) -> dict:
+    """Cold-wave view of a block-metadata cache: the term rows are
+    shared (shallow copy), the cached wave-1 floors are dropped — so a
+    two-phase rep pays the wave job every time. Keeps the `_2phase`
+    bench rows comparable round-over-round now that a repeated bag
+    would otherwise hit the floor cache and skip the wave (that serving
+    steady state is measured separately as the `_floor` rows)."""
+    return {k: v for k, v in cache.items() if not k.startswith("\x00floor:")}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -480,9 +490,20 @@ def main() -> None:
     ]
     assert got_2p == exh_hot, "two-phase zipf WAND != exhaustive"
     timings["zipf_q_wand_shards_hot_2phase"] = best_of(
-        lambda: zq(hot_bag, two_phase=True).collect(), n=reps
+        lambda: zq(hot_bag, meta=_no_floor(zmeta), two_phase=True).collect(),
+        n=reps,
     )
     skip_stats["zipf_hot_2phase"] = dict(wand_mod.LAST_SKIP_STATS)
+    # repeat-query serving steady state: the gate call above cached the
+    # wave-1 floor in zmeta, so this single-phase call plans with the
+    # near-oracle threshold and ZERO extra jobs — what every subsequent
+    # occurrence of a hot bag costs on a serving node
+    got_f = [r["doc_id"] for r in zq(hot_bag).collect()]
+    assert got_f == exh_hot, "floor-cached zipf WAND != exhaustive"
+    timings["zipf_q_wand_shards_hot_floor"] = best_of(
+        lambda: zq(hot_bag).collect(), n=reps
+    )
+    skip_stats["zipf_hot_floor"] = dict(wand_mod.LAST_SKIP_STATS)
 
     # ORACLE skippability floor for the hot bag: a block is skippable by
     # ANY exact planner iff its best doc's TRUE total score is below the
@@ -616,6 +637,7 @@ def main() -> None:
     #     degenerates and the LSM answer is append N segments + merge
     #     once (amortized), exactly what the segment rows price out.
     zl = int(os.environ.get("BENCH_ZIPF_LARGE", "50000"))
+    lsm_summary = None
     if zl > 0:
         zldocs = make_zipf_documents(spark, zl).cache()
         zldocs.count()
@@ -671,16 +693,63 @@ def main() -> None:
         _merge(zlbase, zlrd, zl, zcfg, partitions_only=True).count()
         timings["zipfL_shard_merge_rare"] = round(time.time() - t0, 4)
 
+        # ---- amortized LSM cycle, measured end-to-end (not derived):
+        # K=4 batches of 1% arrive; each batch is a cheap segment append
+        # (served immediately — the 2-segment query row prices that),
+        # then ONE merge compacts all four segments into the base. The
+        # honest per-batch comparison is
+        #   (sum of K appends + 1 merge) / K   vs   one full re-shard
+        # because the eager alternative re-runs build_posting_shards on
+        # the whole corpus every batch. A random doc-keyed delta touches
+        # every hot term (zipfL_shard_merge_1pct ~= re-shard shows per-
+        # batch eager compaction degenerating on Zipf volume), so
+        # amortization IS the LSM win condition — this row is the
+        # committed artifact for it.
+        zlbase96 = build_posting_shards(
+            zlidx.postings.filter(zlseg >= 4), zl, zcfg,
+            doc_dim=zldim, weight_col="bm25_weight",
+        ).cache()
+        zlbase96.count()
+        t0 = time.time()
+        zlsegs = []
+        for i in range(4):
+            s = build_posting_shards(
+                zlidx.postings.filter(zlseg == i), zl, zcfg,
+                doc_dim=zldim, weight_col="bm25_weight",
+            ).cache()
+            s.count()
+            zlsegs.append(s)
+        t_appends = time.time() - t0
+        timings["zipfL_lsm_cycle_appends4"] = round(t_appends, 4)
+        delta4 = zlsegs[0]
+        for s in zlsegs[1:]:
+            delta4 = delta4.unionByName(s)
+        t0 = time.time()
+        _merge(zlbase96, delta4, zl, zcfg).count()
+        t_merge = time.time() - t0
+        timings["zipfL_lsm_cycle_merge4"] = round(t_merge, 4)
+        # derived per-batch comparison (NOT a wall row — kept out of
+        # timings so sum_min_ops_sec stays a sum of measured walls)
+        lsm_summary = {
+            "k_batches": 4,
+            "amortized_batch_sec": round((t_appends + t_merge) / 4, 4),
+            "reshard_batch_sec": timings["zipfL_shard_build"],
+        }
+        zlbase96.unpersist()
+        for s in zlsegs:
+            s.unpersist()
+
         # queries at volume: long posting lists are where block skipping
         # and doc-level candidate pruning actually pay
         zlmap = zldim.select(F.col("doc_idx").alias("doc_key"), "doc_id").cache()
         zlmap.count()
         zlmeta: dict = {}
 
-        def zlq(bag, k=50, two_phase=False):
+        def zlq(bag, k=50, two_phase=False, meta=None):
             return wand_topk_from_shards(
                 spark, zlshards, zlmap, bag, zcfg, k=k, dense_keys=True,
-                meta_cache=zlmeta, two_phase=two_phase,
+                meta_cache=zlmeta if meta is None else meta,
+                two_phase=two_phase,
             )
 
         exh_l = [
@@ -690,14 +759,25 @@ def main() -> None:
         for tp in (False, True):
             got_l = [r["doc_id"] for r in zlq(hot_bag, two_phase=tp).collect()]
             assert got_l == exh_l, f"zipfL WAND != exhaustive (2p={tp})"
+        # the tp=True gate above cached the hot bag's wave-1 floor in
+        # zlmeta: strip it for the cold single-phase / two-phase rows,
+        # measure the floor-cached serving steady state separately
         timings["zipfL_q_wand_hot"] = best_of(
-            lambda: zlq(hot_bag).collect(), n=reps
+            lambda: zlq(hot_bag, meta=_no_floor(zlmeta)).collect(), n=reps
         )
         skip_stats["zipfL_hot"] = dict(wand_mod.LAST_SKIP_STATS)
         timings["zipfL_q_wand_hot_2phase"] = best_of(
-            lambda: zlq(hot_bag, two_phase=True).collect(), n=reps
+            lambda: zlq(hot_bag, meta=_no_floor(zlmeta), two_phase=True)
+            .collect(),
+            n=reps,
         )
         skip_stats["zipfL_hot_2phase"] = dict(wand_mod.LAST_SKIP_STATS)
+        got_lf = [r["doc_id"] for r in zlq(hot_bag).collect()]
+        assert got_lf == exh_l, "floor-cached zipfL WAND != exhaustive"
+        timings["zipfL_q_wand_hot_floor"] = best_of(
+            lambda: zlq(hot_bag).collect(), n=reps
+        )
+        skip_stats["zipfL_hot_floor"] = dict(wand_mod.LAST_SKIP_STATS)
         # deeper tail term than the small section's zw02500: candidate
         # pruning needs the rare group SAMPLE-COMPLETE (df <= 32), and
         # at 50k docs zw02500's df (~308) outgrows the sample while
@@ -756,6 +836,9 @@ def main() -> None:
         # block-max evidence (impact-ordered salt blocks since r4)
         "skip_stats": skip_stats,
         "zipf": {"n_docs": zn, "vocab_size": 20000, "s": 1.1},
+        # amortized LSM cycle at the large-Zipf scale (K segment appends
+        # + one merge, per-batch, vs a full re-shard per batch)
+        "lsm": lsm_summary,
     }
     print(json.dumps(out))
 

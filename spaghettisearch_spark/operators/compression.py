@@ -424,6 +424,7 @@ def decode_shards(
     passthrough: tuple[str, ...] = (),
     fields: tuple[str, ...] = ("tf", "weight", "positions"),
     doc_keys=None,
+    key_ranges: dict | None = None,
 ) -> DataFrame:
     """posting_shards -> one row per (term, field, doc_key) — the
     round-trip inverse of build_posting_shards (modulo doc_id -> 60-bit
@@ -445,7 +446,16 @@ def decode_shards(
     must be, to know which rows to keep), but the kept rows — and with
     them the Arrow transfer and every downstream shuffle — shrink to
     the candidate postings. The filter ships as a task closure: it is
-    bounded by |blocks| * BLOCK_SAMPLE_N keys, never corpus-sized."""
+    bounded by |blocks| * BLOCK_SAMPLE_N keys, never corpus-sized.
+
+    ``key_ranges`` (optional {(term, field, salt) -> [chunk indices]}):
+    RANGE-level pruning from wand.plan_blocks — for listed blocks, keep
+    only the named equi-depth sub-ranges of the doc_key-sorted postings
+    (the encoder's chunking: chunk i covers sorted positions
+    [i*n//n_sub, (i+1)*n//n_sub) with n_sub = min(RANGE_SUB_N, n)).
+    Positional, not key-searched, so it maps exactly onto the chunks the
+    encoder computed range_maxw over. Blocks absent from the dict decode
+    whole; combines with ``doc_keys`` by intersection."""
     extra = list(passthrough)
     want = [f for f in ("tf", "weight", "positions") if f in fields]
     out_cols = ["term", "field", "doc_key"] + want + extra
@@ -471,9 +481,25 @@ def decode_shards(
             # over decoded postings (the round-3 hot-path residual).
             for row in pdf.itertuples(index=False):
                 keys = delta_decode(vb_decode(row.doc_ids))
+                n0 = len(keys)
                 mask = None
+                if key_ranges is not None:
+                    sel = key_ranges.get(
+                        (row.term, row.field, int(row.salt))
+                    )
+                    if sel is not None:
+                        n_sub = int(min(RANGE_SUB_N, n0))
+                        edges = (
+                            np.arange(n_sub + 1, dtype=np.int64) * n0
+                        ) // n_sub
+                        mask = np.zeros(n0, dtype=bool)
+                        for i in sel:
+                            if i < n_sub:
+                                mask[edges[i]:edges[i + 1]] = True
                 if cand is not None:
-                    mask = np.isin(keys, cand, assume_unique=True)
+                    cm = np.isin(keys, cand, assume_unique=True)
+                    mask = cm if mask is None else (mask & cm)
+                if mask is not None:
                     if mask.all():
                         mask = None
                     else:
@@ -532,6 +558,10 @@ def decode_shards(
     # and unrequested streams (e.g. positions for a term-bag query)
     # stay in parquet entirely
     need = ["term", "field", "doc_ids"]
+    if key_ranges is not None and "salt" not in extra:
+        # the range filter is keyed by (term, field, salt); extra INPUT
+        # columns are fine — mapInPandas' schema constrains output only
+        need.append("salt")
     if want_tf:
         need.append("tfs")
     if want_w:

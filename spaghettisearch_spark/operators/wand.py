@@ -284,9 +284,15 @@ def _wand_from_hits(
 
 # telemetry from the latest wand_topk_from_shards call: how many blocks
 # the skip planner kept vs saw (tests assert kept < total on skewed
-# data), and the doc-level candidate count (-1 = pruning not admissible)
+# data), the doc-level candidate count (-1 = pruning not admissible),
+# whether the exact-floor wave ran / was served from the floor cache,
+# and the DECODE VOLUME the plan implies (kept_df = summed df of kept
+# blocks vs total_df of all query-term blocks) — the metric that scales
+# with the corpus, unlike local wall-clock
 LAST_SKIP_STATS: dict[str, int] = {
     "total": 0, "kept": 0, "cand_docs": -1, "two_phase": 0,
+    "floor_cached": 0, "total_df": 0, "kept_df": 0,
+    "total_ranges": 0, "kept_ranges": 0, "decoded_df": 0,
 }
 
 # reserved meta_cache key for the cached PageRank blend maximum (terms
@@ -310,6 +316,24 @@ def _row_ranges(r) -> tuple | None:
     return rb, rm
 
 
+def _plan_df(meta_rows: list, keep: set | None) -> int:
+    """Summed df of the metadata rows in ``keep`` (all rows when None) —
+    the posting volume a plan implies, used both for the two-phase auto
+    decision and the decode-volume telemetry. Rows predating the df
+    column count as 0."""
+    total = 0
+    for r in meta_rows:
+        if keep is not None and (
+            r["term"], r["field"], int(r["salt"]),
+        ) not in keep:
+            continue
+        try:
+            total += int(r["df"] or 0)
+        except (ValueError, KeyError):
+            pass
+    return total
+
+
 def select_blocks(
     meta_rows: list,
     cfg: EngineConfig,
@@ -322,6 +346,14 @@ def select_blocks(
     return plan_blocks(meta_rows, cfg, qtf, k, extra_ub, min_threshold)[0]
 
 
+def _range_counts(df: int, n_sub: int) -> np.ndarray:
+    """Posting count of each equi-depth sub-range of a df-posting block
+    (the encoder's chunking formula, compression._encode_blocks):
+    chunk i covers sorted positions [i*df//n_sub, (i+1)*df//n_sub)."""
+    edges = (np.arange(n_sub + 1, dtype=np.int64) * df) // n_sub
+    return np.diff(edges)
+
+
 def plan_blocks(
     meta_rows: list,
     cfg: EngineConfig,
@@ -329,12 +361,12 @@ def plan_blocks(
     k: int,
     extra_ub: float = 0.0,
     min_threshold: float | None = None,
-) -> tuple[set[tuple[str, str, int]], float | None, list[int] | None]:
+) -> tuple:
     """Block-max skip planner (driver-side, pure): given undecoded block
     metadata rows (term, field, salt, df, max_weight, top_doc_keys,
     top_weights, range_bounds, range_maxw), return
 
-      (keep, threshold, candidate_doc_keys)
+      (keep, threshold, candidate_doc_keys, keep_ranges)
 
     - ``keep``: the (term, field, salt) blocks that must be decoded for
       an EXACT top-k;
@@ -344,6 +376,10 @@ def plan_blocks(
       below), the sorted doc_key list that provably contains every
       top-k doc — the caller may then restrict the varbyte decode to
       those keys; None otherwise.
+    - ``keep_ranges``: {(term, field, salt) -> kept equi-depth chunk
+      indices} for kept blocks whose decode can drop at least one
+      sub-range (see the range-pruning note at the keep loop); blocks
+      absent from the dict decode whole.
 
     Threshold: each block's top-N (doc_key, weight) sample yields partial
     blended scores per doc (a lower bound of the doc's full score, since
@@ -445,7 +481,7 @@ def plan_blocks(
             keep_all = {
                 (r["term"], r["field"], int(r["salt"])) for r in meta_rows
             }
-            return keep_all, None, None
+            return keep_all, None, None, {}
         threshold = min_threshold
     else:
         threshold = sorted(partials.values(), reverse=True)[k - 1]
@@ -469,6 +505,36 @@ def plan_blocks(
     }
 
     keep: set[tuple[str, str, int]] = set()
+    # RANGE-level pruning (finer than block-level): the per-sub-range
+    # bound computed below bounds the TOTAL score of every doc whose
+    # posting lies in that sub-range — so a sub-range with bound < T can
+    # be dropped from the decode even when its BLOCK is kept (some other
+    # sub-range beats T). Exactness argument is the block one, applied
+    # per range: a true top-k doc t with a posting in range i of block B
+    # has bound(B,i) >= t's true score >= true k-th >= T, so all of t's
+    # postings live in kept ranges and its computed score stays exact;
+    # a doc with any dropped posting has total score < T <= true k-th
+    # and cannot displace anyone. keep_ranges[(term, field, salt)] lists
+    # the kept equi-depth chunk indices for kept blocks that shed at
+    # least one range (absent = decode the whole block).
+    keep_ranges: dict[tuple[str, str, int], list[int]] = {}
+    # float-noise slack: the wave-1 floor and the sample partials are
+    # computed with Spark-side association ((fw*w)*qtf)*bs while the
+    # bounds here multiply rm*((fw*qtf)*bs) — a few ULPs apart. A true
+    # k-th doc whose own sub-range max IS its weight could otherwise
+    # fall a hair below an exact floor and be pruned. Relative 1e-9 is
+    # ~1e7 ULPs of headroom and costs nothing measurable in pruning.
+    thr_eps = threshold - abs(threshold) * 1e-9
+    # a union-of-segments frame carries multiple block rows per
+    # (term, field, salt); positional chunk indices are only meaningful
+    # against the one block they were planned from, so range pruning is
+    # disabled for duplicated keys (block-level keep stays correct: it
+    # is a set union over rows)
+    from collections import Counter as _Counter
+
+    bkey_counts = _Counter(
+        (r["term"], r["field"], int(r["salt"])) for r in meta_rows
+    )
     for r in meta_rows:
         key = (r["term"], r["field"])
         f = factor(r["field"], r["term"])
@@ -476,35 +542,41 @@ def plan_blocks(
         if rng is not None:
             rb, rm = rng
             subs = [
-                (int(rb[i]), int(rb[i + 1]), float(rm[i]) * f)
+                (int(rb[i]), int(rb[i + 1]), float(rm[i]) * f, i)
                 for i in range(len(rm))
             ]
-            # check the likeliest-kept sub-range first (early exit on keep;
-            # a SKIP decision always needs every sub-range checked)
-            subs.sort(key=lambda s: -s[2])
         else:
-            subs = [(_I64_MIN, _I64_MAX, float(r["max_weight"]) * f)]
+            subs = [(_I64_MIN, _I64_MAX, float(r["max_weight"]) * f, -1)]
         others = others_of[key]
-        for lo, hi, m in subs:
+        kept_subs: list[int] = []
+        for lo, hi, m, i in subs:
             bound = m + extra_ub
             for los, his, ms in others:
                 sel = (his >= lo) & (los <= hi)
                 if sel.any():
                     bound += float(ms[sel].max())
-            if bound >= threshold:
-                keep.add((r["term"], r["field"], int(r["salt"])))
-                break
+            if bound >= thr_eps:
+                kept_subs.append(i)
+        if kept_subs:
+            bkey = (r["term"], r["field"], int(r["salt"]))
+            keep.add(bkey)
+            if (
+                rng is not None
+                and len(kept_subs) < len(subs)
+                and bkey_counts[bkey] == 1
+            ):
+                keep_ranges[bkey] = kept_subs
 
     # doc-level candidate pruning: admissible iff any unsampled doc's
     # best case (incomplete groups' maxima + PR mass) provably misses
     # the threshold
     cand: list[int] | None = None
     u_out = sum(unsampled_ub[g] for g in incomplete) + extra_ub
-    if u_out < threshold:
+    if u_out < thr_eps:
         cand = sorted(
             {dk for r in meta_rows for dk in (r["top_doc_keys"] or [])}
         )
-    return keep, threshold, cand
+    return keep, threshold, cand, keep_ranges
 
 
 def wand_topk_from_shards(
@@ -548,7 +620,13 @@ def wand_topk_from_shards(
     blocks' summed df, already on the driver) — the serving facade's
     default, so tiny corpora never pay the extra job and long posting
     lists always get the tighter plan. The decision is recorded in
-    ``LAST_SKIP_STATS["two_phase"]``.
+    ``LAST_SKIP_STATS["two_phase"]``. When ``meta_cache`` is supplied the
+    wave-1 floor is cached beside the term metadata keyed by (bag, k) —
+    the floor is a deterministic, PR-independent function of the shards
+    frame and the bag, so a REPEAT query reuses it, plans with the
+    near-oracle threshold, and skips the wave's extra job entirely
+    (``LAST_SKIP_STATS["floor_cached"]``); invalidation rides the
+    existing meta_cache contract (drop the dict when shards change).
 
     This is the north-rule query path at scale: the scan touches only
     the |terms| shard partitions (``shard = hash60(term) % n_shards``
@@ -657,8 +735,31 @@ def wand_topk_from_shards(
                     meta_cache[pr_max_key] = pr_max
             extra_ub = cfg.w_pagerank * cfg.blend_scale * float(pr_max or 0.0)
         qtf_map = {t: float(counts[t]) for t in term_list}
-        keep, _thr, cand_keys = plan_blocks(meta, cfg, qtf_map, k, extra_ub)
-        if two_phase == "auto":
+        # exact-floor cache: the wave-1 floor is a pure function of
+        # (shards, bag, k) — deterministic, PR-independent (wave scores
+        # omit PR mass). A serving node sees the same hot bags over and
+        # over; caching the floor beside the term metadata gives repeat
+        # queries the near-oracle two-phase plan at single-phase cost
+        # (zero extra jobs). The cache dies with meta_cache, which the
+        # caller must drop whenever the shards frame changes — exactly
+        # the invalidation the floor needs for admissibility.
+        floor_key = (
+            "\x00floor:" + repr((tuple(sorted(qtf_map.items())), k))
+            if meta_cache is not None
+            else None
+        )
+        cached_floor = (
+            meta_cache.get(floor_key) if floor_key is not None else None
+        )
+        LAST_SKIP_STATS["floor_cached"] = int(cached_floor is not None)
+        keep, _thr, cand_keys, keep_ranges = plan_blocks(
+            meta, cfg, qtf_map, k, extra_ub, min_threshold=cached_floor
+        )
+        if cached_floor is not None:
+            # the cached floor IS what the wave would recompute — same
+            # shards, same bag, same k — so the wave adds nothing
+            run_wave = False
+        elif two_phase == "auto":
             # decide from the plan itself: the kept blocks' total df IS
             # the decode volume the exact-floor wave can cut, and it is
             # already on the driver — no extra action. Below the
@@ -666,14 +767,7 @@ def wand_topk_from_shards(
             # (the measured local regime); above it, skipped posting
             # volume grows with the corpus while the wave cost stays
             # O(|samples| x |groups|).
-            kept_df = 0
-            for r in meta:
-                if (r["term"], r["field"], int(r["salt"])) in keep:
-                    try:
-                        kept_df += int(r["df"] or 0)
-                    except (ValueError, KeyError):
-                        pass
-            run_wave = kept_df >= cfg.two_phase_auto_min_postings
+            run_wave = _plan_df(meta, keep) >= cfg.two_phase_auto_min_postings
         else:
             run_wave = bool(two_phase)
         LAST_SKIP_STATS["two_phase"] = int(run_wave)
@@ -714,12 +808,42 @@ def wand_topk_from_shards(
             if len(rows1) == k:
                 # exact partial scores are lower bounds (PR and undecoded
                 # blocks only add non-negative mass)
-                keep, _thr, cand_keys = plan_blocks(
-                    meta, cfg, qtf_map, k, extra_ub,
-                    min_threshold=float(rows1[-1]["s"]),
+                floor = float(rows1[-1]["s"])
+                if floor_key is not None:
+                    meta_cache[floor_key] = floor
+                keep, _thr, cand_keys, keep_ranges = plan_blocks(
+                    meta, cfg, qtf_map, k, extra_ub, min_threshold=floor
                 )
         LAST_SKIP_STATS["total"] = len(meta)
         LAST_SKIP_STATS["kept"] = len(keep)
+        LAST_SKIP_STATS["total_df"] = _plan_df(meta, None)
+        LAST_SKIP_STATS["kept_df"] = _plan_df(meta, keep)
+        # range-level telemetry: sub-ranges kept vs total, and the
+        # DECODED posting volume after range pruning — the number that
+        # scales with the corpus (equi-depth chunk counts derived from
+        # each block's df, matching the decode's positional filter)
+        n_rng = n_rng_kept = rng_df = 0
+        for r in meta:
+            rngs = _row_ranges(r)
+            n_sub = len(rngs[1]) if rngs is not None else 1
+            n_rng += n_sub
+            bkey = (r["term"], r["field"], int(r["salt"]))
+            if bkey not in keep:
+                continue
+            try:
+                df_r = int(r["df"] or 0)
+            except (ValueError, KeyError):
+                df_r = 0
+            sel = keep_ranges.get(bkey)
+            if sel is None or rngs is None:
+                n_rng_kept += n_sub
+                rng_df += df_r
+            else:
+                n_rng_kept += len(sel)
+                rng_df += int(_range_counts(df_r, n_sub)[sel].sum())
+        LAST_SKIP_STATS["total_ranges"] = n_rng
+        LAST_SKIP_STATS["kept_ranges"] = n_rng_kept
+        LAST_SKIP_STATS["decoded_df"] = rng_df
         LAST_SKIP_STATS["cand_docs"] = (
             len(cand_keys) if cand_keys is not None else -1
         )
@@ -735,8 +859,13 @@ def wand_topk_from_shards(
     # the tf/positions varbyte decode and their Arrow transfer entirely;
     # when the planner proved doc-level pruning admissible, only the
     # candidate postings survive the decode (everything downstream —
-    # Arrow, bucket shuffle, kernel — scales with |candidates|)
-    decoded = decode_shards(pruned, fields=("weight",), doc_keys=cand_keys)
+    # Arrow, bucket shuffle, kernel — scales with |candidates|), and
+    # kept blocks additionally shed their provably-sub-threshold
+    # sub-ranges (range-level pruning — see plan_blocks)
+    decoded = decode_shards(
+        pruned, fields=("weight",), doc_keys=cand_keys,
+        key_ranges=(keep_ranges or None) if meta is not None else None,
+    )
     qdf = spark.createDataFrame(
         [(t, i, float(counts[t])) for i, t in enumerate(term_list)],
         "term string, qterm_id int, qtf double",

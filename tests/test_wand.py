@@ -679,3 +679,143 @@ def test_two_phase_auto(spark, docs_small, tmp_path):
     assert [r["doc_id"] for r in got2] == want
     assert wand_mod.LAST_SKIP_STATS["two_phase"] == 1  # wave 1 ran
     assert wand_mod.LAST_SKIP_STATS["kept"] <= kept_1p
+
+
+def test_floor_cache_repeat_query(spark, docs_small, tmp_path):
+    """Exact-floor caching: a repeat of the same (bag, k) over the same
+    shards reuses the wave-1 floor from meta_cache — no second wave job
+    (two_phase=0, floor_cached=1) — yet plans the SAME tightened block
+    set and returns the identical exact top-k. A different bag misses
+    the cache (floors are keyed by bag+k: reusing another bag's floor
+    would be inadmissible)."""
+    from dataclasses import replace
+
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.bm25 import search
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+    from spaghettisearch_spark.plans.build_pipeline import build_all
+
+    wh = str(tmp_path / "wh")
+    built = build_all(
+        spark, spark.createDataFrame(docs_small.head(150)), wh,
+        with_pagerank=False,
+    )
+    idx = built.load(spark)
+    shards = built.shards(spark)
+    doc_map = built.doc_map(spark)
+    terms, _ = parse_query("dispatch buffer parse")
+    want = [
+        r["doc_id"]
+        for r in search(
+            spark, idx, "dispatch buffer parse", DEFAULT, k=10
+        ).collect()
+    ]
+    eager = replace(DEFAULT, two_phase_auto_min_postings=0)
+    cache: dict = {}
+    got1 = wand_topk_from_shards(
+        spark, shards, doc_map, terms, eager, k=10, dense_keys=True,
+        two_phase="auto", meta_cache=cache,
+    ).collect()
+    s1 = dict(wand_mod.LAST_SKIP_STATS)
+    assert s1["two_phase"] == 1 and s1["floor_cached"] == 0
+    assert any(key.startswith("\x00floor:") for key in cache)
+    got2 = wand_topk_from_shards(
+        spark, shards, doc_map, terms, eager, k=10, dense_keys=True,
+        two_phase="auto", meta_cache=cache,
+    ).collect()
+    s2 = dict(wand_mod.LAST_SKIP_STATS)
+    assert s2["two_phase"] == 0 and s2["floor_cached"] == 1
+    assert s2["kept"] == s1["kept"] and s2["kept_df"] == s1["kept_df"]
+    assert [r["doc_id"] for r in got1] == want
+    assert [r["doc_id"] for r in got2] == want
+    # decode-volume telemetry is populated and consistent
+    assert 0 < s1["kept_df"] <= s1["total_df"]
+    # a different bag must not hit the cached floor
+    other, _ = parse_query("buffer parse")
+    wand_topk_from_shards(
+        spark, shards, doc_map, other, eager, k=10, dense_keys=True,
+        two_phase="auto", meta_cache=cache,
+    ).collect()
+    assert wand_mod.LAST_SKIP_STATS["floor_cached"] == 0
+
+
+def test_range_level_decode_pruning(spark):
+    """Range-LEVEL pruning: kept blocks shed their provably-sub-
+    threshold equi-depth sub-ranges, so the decoded posting volume
+    (decoded_df) drops below the kept blocks' full df (kept_df) while
+    the top-k stays exact. Fixture: two monotone terms in opposite
+    directions — every kept terma block is strong only at its low-key
+    end, so its high-key sub-ranges fall under the threshold and are
+    dropped from the decode. Also checks the decode filter directly:
+    key_ranges={block: [0]} yields exactly the block's first equi-depth
+    chunk in doc_key order."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators import wand as wand_mod
+    from spaghettisearch_spark.operators.compression import (
+        RANGE_SUB_N,
+        build_doc_dim,
+        build_posting_shards,
+        decode_shards,
+    )
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    cfg = DEFAULT
+    docs = [f"d{i:04d}" for i in range(400)]
+    rows = []
+    for i, d in enumerate(docs):
+        rows.append(("terma", "body", d, 1, [0], 10.0 - 0.02 * i))
+        rows.append(("termb", "body", d, 1, [1], 0.005 * (i + 1)))
+    postings = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, weight double",
+    )
+    ids = spark.createDataFrame([(d,) for d in docs], "doc_id string")
+    dim = build_doc_dim(ids).cache()
+    dim.count()
+    shards = build_posting_shards(
+        postings, len(docs), cfg, doc_dim=dim, weight_col="weight"
+    ).cache()
+    shards.count()
+    doc_map = dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    got = wand_topk_from_shards(
+        spark, shards, doc_map, ["terma", "termb"], cfg, k=5, dense_keys=True
+    ).collect()
+    stats = dict(wand_mod.LAST_SKIP_STATS)
+    score = {
+        d: (10.0 - 0.02 * i + 0.005 * (i + 1)) * cfg.w_body * cfg.blend_scale
+        for i, d in enumerate(docs)
+    }
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_d, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    # kept blocks decoded strictly fewer postings than they hold
+    assert 0 < stats["decoded_df"] < stats["kept_df"], stats
+    assert stats["kept_ranges"] < stats["total_ranges"], stats
+
+    # direct decode-filter check: first chunk only, positional semantics
+    blk = shards.filter(F.col("term") == "terma").select(
+        "term", "field", "salt", "df"
+    ).orderBy("salt").first()
+    bkey = (blk["term"], blk["field"], int(blk["salt"]))
+    one = shards.filter(
+        (F.col("term") == bkey[0]) & (F.col("salt") == bkey[2])
+    )
+    full = (
+        decode_shards(one, fields=("weight",))
+        .orderBy("doc_key")
+        .collect()
+    )
+    first_chunk = decode_shards(
+        one, fields=("weight",), key_ranges={bkey: [0]}
+    ).orderBy("doc_key").collect()
+    n = int(blk["df"])
+    n_sub = min(RANGE_SUB_N, n)
+    want_n = ((1 * n) // n_sub) - ((0 * n) // n_sub)
+    assert [r["doc_key"] for r in first_chunk] == [
+        r["doc_key"] for r in full[:want_n]
+    ]
+    dim.unpersist()
+    shards.unpersist()
