@@ -6,9 +6,11 @@ so payload bytes never round-trip through Python row-by-row. PNG images
 decode for REAL through a built-in pure-stdlib codec (decode_png: zlib
 inflate + all five scanline unfilters, 8-bit gray/GA/RGB/RGBA), with an
 encoder inverse (encode_png) for deterministic synthetic bitmaps —
-round-trip and per-filter gated in tests/test_streaming.py. Other image
-formats (JPEG, …) go through PIL when importable and otherwise raise
-the honest NotImplementedError. RIFF/WAVE audio decodes for REAL too
+round-trip and per-filter gated in tests/test_streaming.py. 24-bit
+BI_RGB BMP decodes for real as well (decode_bmp/encode_bmp: row
+padding, bottom-up and top-down orders). Other image formats (JPEG, …)
+go through PIL when importable and otherwise raise the honest
+NotImplementedError. RIFF/WAVE audio decodes for REAL too
 (decode_wav: PCM 8/16-bit, any channel count, pad-byte-correct chunk
 walk, with encode_wav as the bit-exact inverse); video codecs are not
 wired (undecodable payloads raise, never fake); fake_decode remains
@@ -332,14 +334,227 @@ def wav_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
     )
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal BMP writer — uncompressed 24-bit BI_RGB, bottom-up rows,
+    BGR channel order, rows padded to 4-byte boundaries. ``pixels``:
+    HxWx3 (or HxW grayscale, replicated) uint8. The inverse that proves
+    decode_bmp bit-exact in tests."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp wants HxWx3 (or HxW) uint8")
+    h, w, _ = px.shape
+    row_len = (w * 3 + 3) & ~3
+    bgr = px[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-stdlib BMP decoder — uncompressed 24-bit BI_RGB with a
+    BITMAPINFOHEADER (or larger V4/V5 header), both bottom-up (h > 0)
+    and top-down (h < 0) row orders, 4-byte row padding stripped.
+    Returns HxWx3 uint8 RGB. Other bit depths / RLE honestly raise."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    _planes, bits = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bits != 24:
+        raise NotImplementedError("only uncompressed 24-bit BI_RGB BMP")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_len = (w * 3 + 3) & ~3
+    if off + h * row_len > len(payload):
+        raise ValueError("BMP pixel data truncated")
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * row_len,
+                         offset=off)
+    rows = data.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a writer for an indexed image: ``indices`` HxW
+    uint8 into ``palette`` (N, 3) uint8, N a power of two >= 2. The
+    LZW stream emits a CLEAR code before every pixel code — valid per
+    spec (the decoder just resets its table), keeps the code width
+    fixed at min_code_size+1, and needs no encoder-side dictionary.
+    The inverse that proves decode_gif bit-exact in tests."""
+    import struct
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("encode_gif wants HxW indices + (N, 3) palette")
+    n = len(pal)
+    if n < 2 or (n & (n - 1)) != 0 or n > 256:
+        raise ValueError("palette size must be a power of two in [2, 256]")
+    if idx.max(initial=0) >= n:
+        raise ValueError("index out of palette range")
+    h, w = idx.shape
+    depth = max(n.bit_length() - 1, 1)  # log2(n)
+    min_code = max(depth, 2)
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    # pack codes LSB-first: CLEAR, pixel, CLEAR, pixel, ..., EOI
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    for px in idx.reshape(-1):
+        put(clear)
+        put(int(px))
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    # screen + image descriptors, global color table, sub-blocked data
+    gct_flag = 0x80 | ((depth - 1) << 4) | (depth - 1)
+    head = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, gct_flag, 0, 0)
+        + pal.tobytes()
+        + (b"\x00" * ((1 << depth) * 3 - pal.size))
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+    )
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return head + bytes(blocks) + b"\x00" + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-stdlib GIF87a/89a decoder: global/local color tables,
+    extension blocks skipped, full variable-width LZW (table growth to
+    12 bits, CLEAR/EOI, the KwKwK case). Decodes the FIRST image frame
+    to HxWx3 uint8 RGB; interlaced images honestly raise."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        # LZW decode
+        clear = 1 << min_code
+        eoi = clear + 1
+        width = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        acc = nbits = di = 0
+        prev: bytes | None = None
+        out = bytearray()
+        while True:
+            while nbits < width:
+                if di >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[di] << nbits
+                di += 1
+                nbits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= w * h:
+                break
+        idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short")
+        return pal[idx.reshape(h, w)].astype(np.uint8)
+    raise ValueError("GIF contains no image block")
+
+
 def real_decode(payload: bytes):
     """Real decode slot: PNG bytes decode through the built-in
-    pure-stdlib codec (decode_png) and RIFF/WAVE audio through
-    decode_wav (audio rows report (channels, sample_rate) in the
-    (width, height) slots and sample count as n_frames); other image
-    formats go through PIL when importable and otherwise raise the
-    honest NotImplementedError. Video payloads have no codec wired —
-    they surface as ValueError (undecodable), never a silent fake."""
+    pure-stdlib codec (decode_png), 24-bit BMP through decode_bmp, and
+    RIFF/WAVE audio through decode_wav (audio rows report (channels,
+    sample_rate) in the (width, height) slots and sample count as
+    n_frames); other image formats go through PIL when importable and
+    otherwise raise the honest NotImplementedError. Video payloads have
+    no codec wired — they surface as ValueError (undecodable), never a
+    silent fake."""
     if payload[:8] == PNG_MAGIC:
         px = decode_png(payload)
         h, w, _ch = px.shape
@@ -348,6 +563,14 @@ def real_decode(payload: bytes):
         samples, sr = decode_wav(payload)
         n, ch = samples.shape
         return ch, sr, n, wav_features(samples, sr)
+    if payload[:2] == b"BM":
+        px = decode_bmp(payload)
+        h, w, _ch = px.shape
+        return w, h, 1, png_features(px)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        px = decode_gif(payload)
+        h, w, _ch = px.shape
+        return w, h, 1, png_features(px)
     try:
         from PIL import Image  # noqa: F401
         import io

@@ -460,3 +460,103 @@ def test_wav_real_decode_through_spark(spark):
         g = got[d]
         assert (g["width"], g["height"], g["n_frames"]) == (ch, sr, n)
         assert g["feature"] == pytest.approx(list(feat), rel=1e-6)
+
+
+def test_bmp_codec_roundtrip():
+    """Pure-stdlib BMP codec: 24-bit BI_RGB round-trips bit-exact across
+    widths that exercise every row-padding remainder (w*3 mod 4), plus
+    grayscale replication, top-down row order, and honest raises for
+    unsupported depth / truncated payloads; real_decode dispatches BMP
+    by magic."""
+    import struct
+
+    import numpy as np
+
+    from spaghettisearch_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        real_decode,
+    )
+
+    for w in (1, 2, 3, 4, 5, 17):
+        rng = np.random.RandomState(w)
+        px = rng.randint(0, 256, size=(7, w, 3)).astype(np.uint8)
+        out = decode_bmp(encode_bmp(px))
+        assert out.shape == px.shape and np.array_equal(out, px), w
+    # grayscale input replicates to 3 channels
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = decode_bmp(encode_bmp(g))
+    assert np.array_equal(out, np.stack([g] * 3, axis=-1))
+    # top-down variant (negative height) decodes to the same pixels
+    px = np.random.RandomState(9).randint(0, 256, (5, 3, 3)).astype(np.uint8)
+    payload = bytearray(encode_bmp(px[::-1]))  # encoder stores bottom-up
+    h = struct.unpack_from("<i", payload, 22)[0]
+    struct.pack_into("<i", payload, 22, -h)
+    assert np.array_equal(decode_bmp(bytes(payload)), px[::-1][::-1])
+    # real_decode dispatch: width/height and an 8-dim feature vector
+    w_, h_, n_, feat = real_decode(encode_bmp(px))
+    assert (w_, h_, n_) == (3, 5, 1) and feat.shape == (8,)
+    # honest raises
+    bad = bytearray(encode_bmp(px))
+    struct.pack_into("<H", bad, 28, 8)  # claim 8-bit depth
+    try:
+        decode_bmp(bytes(bad))
+        raise AssertionError("8-bit BMP must raise")
+    except NotImplementedError:
+        pass
+    try:
+        decode_bmp(encode_bmp(px)[:40])
+        raise AssertionError("truncated BMP must raise")
+    except ValueError:
+        pass
+
+
+def test_gif_codec_roundtrip():
+    """Pure-stdlib GIF codec: indexed images round-trip to the exact
+    palette RGB across palette sizes (code widths 2..8), multi-block
+    LZW data (>255 byte streams), 89a extension blocks are skipped,
+    and the decoder's variable-width LZW handles a PIL-free synthetic
+    stream; interlace honestly raises."""
+    import struct
+
+    import numpy as np
+
+    from spaghettisearch_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        real_decode,
+    )
+
+    for n_pal in (2, 4, 16, 256):
+        rng = np.random.RandomState(n_pal)
+        pal = rng.randint(0, 256, size=(n_pal, 3)).astype(np.uint8)
+        idx = rng.randint(0, n_pal, size=(13, 11)).astype(np.uint8)
+        out = decode_gif(encode_gif(idx, pal))
+        assert out.shape == (13, 11, 3)
+        assert np.array_equal(out, pal[idx]), n_pal
+    # large image -> LZW stream spans many 255-byte sub-blocks
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = (np.arange(64 * 64) % 16).astype(np.uint8).reshape(64, 64)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+    # real_decode dispatch
+    w_, h_, n_, feat = real_decode(encode_gif(idx, pal))
+    assert (w_, h_, n_) == (64, 64, 1) and feat.shape == (8,)
+    # 89a graphic-control extension before the image must be skipped
+    payload = encode_gif(idx[:4, :4], pal)
+    with_ext = (
+        payload[:13 + 48]
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        + payload[13 + 48:]
+    )
+    assert np.array_equal(decode_gif(with_ext), pal[idx[:4, :4]])
+    # interlaced flag raises; the image descriptor sits right after the
+    # 13-byte header + 48-byte global color table (16 entries x 3)
+    bad = bytearray(encode_gif(idx[:4, :4], pal))
+    ipos = 13 + 48
+    assert bad[ipos] == 0x2C
+    bad[ipos + 9] |= 0x40
+    try:
+        decode_gif(bytes(bad))
+        raise AssertionError("interlaced GIF must raise")
+    except NotImplementedError:
+        pass
