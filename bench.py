@@ -38,6 +38,40 @@ def _no_floor(cache: dict) -> dict:
     return {k: v for k, v in cache.items() if not k.startswith("\x00floor:")}
 
 
+def _oracle_skippable(shards, bag, cfg, k) -> dict:
+    """Information-theoretic block-skip ceiling for a term bag: a block
+    is skippable by ANY exact planner iff its best doc's TRUE total
+    score (computed from the fully decoded shards) is below the true
+    k-th score. Keeping more than (total - skippable) blocks is planner
+    slack; total == kept means the query shape admits no skipping."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators.compression import decode_shards
+
+    d = decode_shards(
+        shards.filter(F.col("term").isin(bag)),
+        passthrough=("salt",), fields=("weight",),
+    )
+    fw = (
+        F.when(F.col("field") == "title", F.lit(cfg.w_title))
+        .otherwise(F.lit(cfg.w_body))
+    )
+    per = d.withColumn("b", fw * F.col("weight") * F.lit(cfg.blend_scale))
+    tot = per.groupBy("doc_key").agg(F.sum("b").alias("s")).cache()
+    t_true = tot.orderBy(F.desc("s")).limit(k).collect()[-1]["s"]
+    blk = (
+        per.join(tot, "doc_key")
+        .groupBy("term", "field", "salt")
+        .agg(F.max("s").alias("blockmax"))
+        .collect()
+    )
+    tot.unpersist()
+    return {
+        "total": len(blk),
+        "skippable": sum(1 for r in blk if r["blockmax"] < t_true),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -313,6 +347,12 @@ def main() -> None:
     from spaghettisearch_spark.operators import wand as wand_mod
 
     skip_stats = {"main_multi": dict(wand_mod.LAST_SKIP_STATS)}
+    # ceiling for the uniform corpus: kept==total here is expected to be
+    # intrinsic (flat dfs/weights leave no block provably sub-threshold),
+    # and this row proves it is not planner slack
+    skip_stats["main_multi_oracle"] = _oracle_skippable(
+        shards, wand_terms, cfg, 50
+    )
 
     lat_ms: list[float] = []
     min_ms: list[float] = []
@@ -505,36 +545,9 @@ def main() -> None:
     )
     skip_stats["zipf_hot_floor"] = dict(wand_mod.LAST_SKIP_STATS)
 
-    # ORACLE skippability floor for the hot bag: a block is skippable by
-    # ANY exact planner iff its best doc's TRUE total score is below the
-    # true k-th score. Computed from the decoded shards — this is the
-    # information-theoretic limit the planner is judged against (keeping
-    # more than (total - skippable) blocks is planner slack; at
-    # total == kept the query shape simply admits no block skipping).
-    from spaghettisearch_spark.operators.compression import decode_shards as _dec
-
-    _hb = _dec(
-        zshards.filter(F.col("term").isin(hot_bag)),
-        passthrough=("salt",), fields=("weight",),
-    )
-    _fw = (
-        F.when(F.col("field") == "title", F.lit(zcfg.w_title))
-        .otherwise(F.lit(zcfg.w_body))
-    )
-    _per = _hb.withColumn("b", _fw * F.col("weight") * F.lit(zcfg.blend_scale))
-    _tot = _per.groupBy("doc_key").agg(F.sum("b").alias("s")).cache()
-    _t_true = _tot.orderBy(F.desc("s")).limit(50).collect()[-1]["s"]
-    _blk = (
-        _per.join(_tot, "doc_key")
-        .groupBy("term", "field", "salt")
-        .agg(F.max("s").alias("blockmax"))
-        .collect()
-    )
-    skip_stats["zipf_hot_oracle"] = {
-        "total": len(_blk),
-        "skippable": sum(1 for r in _blk if r["blockmax"] < _t_true),
-    }
-    _tot.unpersist()
+    # ORACLE skippability floor for the hot bag — the limit the planner
+    # is judged against (see _oracle_skippable)
+    skip_stats["zipf_hot_oracle"] = _oracle_skippable(zshards, hot_bag, zcfg, 50)
 
     timings["zipf_q_exhaustive_hot"] = best_of(
         lambda: search(spark, zidx, " ".join(hot_bag), zcfg, k=50).collect(),
