@@ -448,14 +448,16 @@ def decode_shards(
     the candidate postings. The filter ships as a task closure: it is
     bounded by |blocks| * BLOCK_SAMPLE_N keys, never corpus-sized.
 
-    ``key_ranges`` (optional {(term, field, salt) -> [chunk indices]}):
-    RANGE-level pruning from wand.plan_blocks — for listed blocks, keep
-    only the named equi-depth sub-ranges of the doc_key-sorted postings
-    (the encoder's chunking: chunk i covers sorted positions
-    [i*n//n_sub, (i+1)*n//n_sub) with n_sub = min(RANGE_SUB_N, n)).
-    Positional, not key-searched, so it maps exactly onto the chunks the
-    encoder computed range_maxw over. Blocks absent from the dict decode
-    whole; combines with ``doc_keys`` by intersection."""
+    ``key_ranges`` (optional {(term, field, salt) ->
+    (n_sub, [chunk indices])}): RANGE-level pruning from
+    wand.plan_blocks — for listed blocks, keep only the named equi-depth
+    sub-ranges of the doc_key-sorted postings (the encoder's chunking:
+    chunk i covers sorted positions [i*n//n_sub, (i+1)*n//n_sub)).
+    ``n_sub`` is the chunk count the block was ENCODED with (the planner
+    reads it off the block's own range_maxw length), so the positional
+    mapping stays exact even if RANGE_SUB_N changes between build and
+    serve. Blocks absent from the dict decode whole; combines with
+    ``doc_keys`` by intersection."""
     extra = list(passthrough)
     want = [f for f in ("tf", "weight", "positions") if f in fields]
     out_cols = ["term", "field", "doc_key"] + want + extra
@@ -488,12 +490,17 @@ def decode_shards(
                         (row.term, row.field, int(row.salt))
                     )
                     if sel is not None:
-                        n_sub = int(min(RANGE_SUB_N, n0))
+                        # (n_sub, kept chunk indices): n_sub comes from
+                        # the planner's metadata row (len(range_maxw)),
+                        # i.e. the chunk count this block was ENCODED
+                        # with — never recomputed from a module constant
+                        # that may differ between build and serve
+                        n_sub, kept_idx = int(sel[0]), sel[1]
                         edges = (
                             np.arange(n_sub + 1, dtype=np.int64) * n0
                         ) // n_sub
                         mask = np.zeros(n0, dtype=bool)
-                        for i in sel:
+                        for i in kept_idx:
                             if i < n_sub:
                                 mask[edges[i]:edges[i + 1]] = True
                 if cand is not None:

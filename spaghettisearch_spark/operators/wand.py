@@ -565,7 +565,11 @@ def plan_blocks(
                 and len(kept_subs) < len(subs)
                 and bkey_counts[bkey] == 1
             ):
-                keep_ranges[bkey] = kept_subs
+                # carry the block's OWN chunk count (len(range_maxw))
+                # so the decode maps indices with the n_sub this block
+                # was encoded with, never a module constant that may
+                # have changed between build and serve
+                keep_ranges[bkey] = (len(subs), kept_subs)
 
     # doc-level candidate pruning: admissible iff any unsampled doc's
     # best case (incomplete groups' maxima + PR mass) provably misses
@@ -839,8 +843,8 @@ def wand_topk_from_shards(
                 n_rng_kept += n_sub
                 rng_df += df_r
             else:
-                n_rng_kept += len(sel)
-                rng_df += int(_range_counts(df_r, n_sub)[sel].sum())
+                n_rng_kept += len(sel[1])
+                rng_df += int(_range_counts(df_r, sel[0])[sel[1]].sum())
         LAST_SKIP_STATS["total_ranges"] = n_rng
         LAST_SKIP_STATS["kept_ranges"] = n_rng_kept
         LAST_SKIP_STATS["decoded_df"] = rng_df

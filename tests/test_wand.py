@@ -808,11 +808,11 @@ def test_range_level_decode_pruning(spark):
         .orderBy("doc_key")
         .collect()
     )
-    first_chunk = decode_shards(
-        one, fields=("weight",), key_ranges={bkey: [0]}
-    ).orderBy("doc_key").collect()
     n = int(blk["df"])
     n_sub = min(RANGE_SUB_N, n)
+    first_chunk = decode_shards(
+        one, fields=("weight",), key_ranges={bkey: (n_sub, [0])}
+    ).orderBy("doc_key").collect()
     want_n = ((1 * n) // n_sub) - ((0 * n) // n_sub)
     assert [r["doc_key"] for r in first_chunk] == [
         r["doc_key"] for r in full[:want_n]
