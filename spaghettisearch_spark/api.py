@@ -199,6 +199,7 @@ class SearchEngine:
                     self.spark, self.shards, self.doc_map, q, self.cfg,
                     pagerank=pr, k=k, doc_meta=self.index.doc_meta,
                     skip_key_check=True,  # build() made the pair itself
+                    dense_keys=True,  # build() keys by dense doc_idx
                 )
                 hydrated = True
         elif wandable:

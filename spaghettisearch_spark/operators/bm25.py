@@ -295,12 +295,19 @@ def search_from_shards(
     k: int | None = None,
     doc_meta: DataFrame | None = None,
     skip_key_check: bool = False,
+    dense_keys: bool | None = None,
 ) -> DataFrame:
     """The FULL query pipeline (free terms + phrases + field blend + PR
     + hydration) served from the COMPRESSED posting shards — the
     warehouse-resident serving path. Same semantics and (to float
     associativity) same values as ``search`` on the in-memory index the
     shards were built from; asserted in test_api.
+
+    ``dense_keys`` (None = probe the doc_map once): with dense doc_idx
+    keys the whole pipeline — free-term scoring, phrase position
+    intersection, blend, top-k — runs on long keys and doc_map joins
+    only the k-row output (broadcast); with hash keys the map joins
+    before scoring because tie-breaking needs the doc_id strings.
 
     ``doc_map`` (doc_key long, doc_id string) must use the SAME key mode
     the shards were built with — dense doc_idx (build_doc_dim) or 60-bit
@@ -347,12 +354,30 @@ def search_from_shards(
     free_terms, phrase_lists = parse_query(
         query, cfg.remove_stopwords, cfg.stem
     )
+    if dense_keys is None:
+        # probe once: dense doc_idx values are < n_docs (far below
+        # 2^44), hash keys uniform in [0, 2^60)
+        m_row = doc_map.select("doc_key").limit(1).collect()
+        dense_keys = bool(m_row) and int(m_row[0]["doc_key"]) < (1 << 44)
+    # dense-key serving scores entirely on long keys (the dense doc_idx
+    # is assigned in global doc_id sort order, so (score desc, key asc)
+    # is the same total order as the string tie-break) and joins the
+    # corpus-sized doc_map only against the k-row output — the phrase
+    # analog of the wand path's deferred hydration. Hash-key mode keeps
+    # the pre-scoring join (hash keys don't preserve doc_id order, so
+    # the tie-break needs the strings).
+    pre_map = None if dense_keys else doc_map
     parts: list[DataFrame] = []
     if free_terms:
         qdf = _query_terms_df(spark, free_terms)
         decoded = decode_shards(
             prune_shards(shards, free_terms, cfg), fields=("weight",)
-        ).join(doc_map, "doc_key")
+        )
+        decoded = (
+            decoded.withColumnRenamed("doc_key", "doc_id")
+            if pre_map is None
+            else decoded.join(pre_map, "doc_key")
+        )
         parts.append(
             decoded.join(F.broadcast(qdf), "term").select(
                 "doc_id",
@@ -361,12 +386,32 @@ def search_from_shards(
             )
         )
     for phrase in phrase_lists:
-        m = phrase_matches_from_shards(spark, shards, doc_map, phrase, cfg)
+        m = phrase_matches_from_shards(spark, shards, pre_map, phrase, cfg)
         parts.append(m.select("doc_id", "field", "contrib"))
     if not parts:
         scored = spark.createDataFrame(
             [], "doc_id string, title_rank double, body_rank double"
         )
-    else:
-        scored = _pivot_field_ranks(parts)
-    return _blend_and_topk(scored, cfg, pagerank, k, doc_meta)
+        return _blend_and_topk(scored, cfg, pagerank, k, doc_meta)
+    scored = _pivot_field_ranks(parts)
+    if not dense_keys:
+        return _blend_and_topk(scored, cfg, pagerank, k, doc_meta)
+    pr_keyed = None
+    if pagerank is not None:
+        # ad-hoc remap (at 10^12 docs store PR doc_key-keyed at build
+        # time — same note as the wand path)
+        pr_keyed = pagerank.join(doc_map, "doc_id").select(
+            F.col("doc_key").alias("doc_id"), "rank"
+        )
+    topk = _blend_and_topk(scored, cfg, pr_keyed, k, None)
+    out = (
+        doc_map.join(
+            F.broadcast(topk.withColumnRenamed("doc_id", "doc_key")),
+            "doc_key",
+        )
+        .drop("doc_key")
+        .select("doc_id", "title_rank", "body_rank", "pagerank", "score")
+    )
+    if doc_meta is not None:
+        out = F.broadcast(out).join(doc_meta, "doc_id")
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -58,14 +58,22 @@ def phrase_matches_from_shards(
 ):
     """Phrase matching straight off the compressed shards: pruned scan ->
     varbyte position decode -> offset-adjust -> intersect. ``contrib`` is
-    the stored impact weight (bm25 path)."""
+    the stored impact weight (bm25 path).
+
+    ``doc_map=None`` (dense-key serving): position intersection needs no
+    doc_id strings, so the match runs entirely on the long doc_key
+    (returned in the ``doc_id`` column) and the corpus-sized map never
+    enters the per-query plan — the caller hydrates after top-k, the
+    only join shape that survives 10^12 docs."""
     from .compression import decode_shards, prune_shards
 
     pruned = prune_shards(shards, list(set(phrase)), cfg)
     # phrase matching needs positions + weights but never tf
-    decoded = decode_shards(pruned, fields=("weight", "positions")).join(
-        doc_map, "doc_key"
-    )
+    decoded = decode_shards(pruned, fields=("weight", "positions"))
+    if doc_map is not None:
+        decoded = decoded.join(doc_map, "doc_key")
+    else:
+        decoded = decoded.withColumnRenamed("doc_key", "doc_id")
     hits = decoded.select(
         "term", "field", "doc_id", "positions", F.col("weight").alias("contrib")
     )

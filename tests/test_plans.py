@@ -209,3 +209,47 @@ def test_shard_scan_partition_prunes(spark, corpus_small, index_small, tmp_path)
             "term-bag shard scan reads unneeded payload streams:\n" + l
         )
     doc_dim.unpersist()
+
+
+def test_dense_phrase_serving_defers_doc_map(
+    spark, corpus_small, index_small, tmp_path
+):
+    """Dense-key search_from_shards (free terms + a phrase): scoring and
+    position intersection run on long keys, and the corpus-sized
+    doc_map joins only the k-row output under an explicit broadcast —
+    with auto-broadcast disabled the full plan must contain no
+    SortMergeJoin (a pre-scoring doc_map join would plan one against
+    the decoded postings at scale)."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.config import DEFAULT
+    from spaghettisearch_spark.operators.bm25 import search_from_shards
+    from spaghettisearch_spark.operators.compression import (
+        build_doc_dim,
+        build_posting_shards,
+    )
+
+    doc_dim = build_doc_dim(corpus_small).cache()
+    build_posting_shards(
+        index_small.postings, corpus_small.count(), DEFAULT,
+        doc_dim=doc_dim, weight_col="bm25_weight",
+    ).write.parquet(str(tmp_path / "shards"))
+    shards = spark.read.parquet(str(tmp_path / "shards"))
+    doc_dim.select(F.col("doc_idx").alias("doc_key"), "doc_id").write.parquet(
+        str(tmp_path / "doc_map")
+    )
+    doc_map = spark.read.parquet(str(tmp_path / "doc_map"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(
+            spark,
+            search_from_shards(
+                spark, shards, doc_map, '"hash table" parse', DEFAULT,
+                k=10, skip_key_check=True, dense_keys=True,
+            ),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" not in plan, "doc_map joined before top-k"
+    assert "BroadcastHashJoin" in plan
