@@ -316,6 +316,24 @@ def main() -> None:
     qset["q_engine_warehouse"] = lambda: eng_wh.query_df(
         "spark query scan", k=50, use_wand=True, backend="shards"
     )
+    # phrase + free term from the disk warehouse: position intersection
+    # and scoring run on dense long keys, doc_map broadcast-joins the
+    # k-row output only (plan-gated in test_plans); ranking hard-gated
+    # against the in-memory path below
+    qset["q_engine_warehouse_phrase"] = lambda: eng_wh.query_df(
+        '"value table" spark', k=50, backend="shards"
+    )
+    mem_phrase = [
+        r["doc_id"]
+        for r in search(spark, idx, '"value table" spark', cfg, k=50).collect()
+    ]
+    wh_phrase = [
+        r["doc_id"]
+        for r in eng_wh.query_df(
+            '"value table" spark', k=50, backend="shards"
+        ).collect()
+    ]
+    assert wh_phrase == mem_phrase, "warehouse phrase ranking != in-memory"
     # hard gate: the WAND paths must return the same ranking as the
     # exhaustive path for the same bag — catches term-vocabulary
     # mismatches (raw vs stemmed) that would otherwise just make the
