@@ -8,9 +8,12 @@ inflate + all five scanline unfilters, 8-bit gray/GA/RGB/RGBA), with an
 encoder inverse (encode_png) for deterministic synthetic bitmaps —
 round-trip and per-filter gated in tests/test_streaming.py. 24-bit
 BI_RGB BMP decodes for real as well (decode_bmp/encode_bmp: row
-padding, bottom-up and top-down orders). Other image formats (JPEG, …)
-go through PIL when importable and otherwise raise the honest
-NotImplementedError. RIFF/WAVE audio decodes for REAL too
+padding, bottom-up and top-down orders), as do GIF87a/89a
+(decode_gif/encode_gif: full variable-width LZW) and baseline JPEG
+(functions/jpeg.py: Huffman + IDCT + chroma upsampling, tested to
+bounded reconstruction error — JPEG is lossy). Remaining formats
+(WebP, TIFF, …) go through PIL when importable and otherwise raise the
+honest NotImplementedError. RIFF/WAVE audio decodes for REAL too
 (decode_wav: PCM 8/16-bit, any channel count, pad-byte-correct chunk
 walk, with encode_wav as the bit-exact inverse); video codecs are not
 wired (undecodable payloads raise, never fake); fake_decode remains
@@ -548,13 +551,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 def real_decode(payload: bytes):
     """Real decode slot: PNG bytes decode through the built-in
-    pure-stdlib codec (decode_png), 24-bit BMP through decode_bmp, and
-    RIFF/WAVE audio through decode_wav (audio rows report (channels,
-    sample_rate) in the (width, height) slots and sample count as
-    n_frames); other image formats go through PIL when importable and
-    otherwise raise the honest NotImplementedError. Video payloads have
-    no codec wired — they surface as ValueError (undecodable), never a
-    silent fake."""
+    pure-stdlib codec (decode_png), 24-bit BMP through decode_bmp,
+    GIF87a/89a through decode_gif, baseline JPEG through
+    functions.jpeg.decode_jpeg, and RIFF/WAVE audio through decode_wav
+    (audio rows report (channels, sample_rate) in the (width, height)
+    slots and sample count as n_frames); remaining image formats go
+    through PIL when importable and otherwise raise the honest
+    NotImplementedError. Video payloads have no codec wired — they
+    surface as ValueError (undecodable), never a silent fake."""
     if payload[:8] == PNG_MAGIC:
         px = decode_png(payload)
         h, w, _ch = px.shape
@@ -569,6 +573,12 @@ def real_decode(payload: bytes):
         return w, h, 1, png_features(px)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         px = decode_gif(payload)
+        h, w, _ch = px.shape
+        return w, h, 1, png_features(px)
+    if payload[:3] == b"\xff\xd8\xff":
+        from ..functions.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
         h, w, _ch = px.shape
         return w, h, 1, png_features(px)
     try:

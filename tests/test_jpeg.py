@@ -1,0 +1,103 @@
+"""Baseline JPEG codec (functions/jpeg.py): JPEG is lossy, so these
+tests assert BOUNDED reconstruction error (the bit-exact contracts live
+with the PNG/BMP/GIF/WAV codecs), plus exact structural invariants —
+flat blocks reconstruct exactly, all sampling/restart variants agree
+with the 4:4:4 stream, and unsupported shapes raise honestly."""
+
+import numpy as np
+import pytest
+
+from spaghettisearch_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w):
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = np.linspace(10, 245, w)[None, :]
+    px[:, :, 1] = np.linspace(245, 10, h)[:, None]
+    px[:, :, 2] = 128
+    return px
+
+
+def test_flat_image_exact():
+    for val in (0, 77, 128, 255):
+        flat = np.full((16, 24, 3), val, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(flat, quality=90))
+        assert int(np.abs(out.astype(int) - val).max()) <= 1, val
+
+
+def test_gradient_bounded_error():
+    px = _gradient(48, 64)
+    out = decode_jpeg(encode_jpeg(px, quality=90))
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert out.shape == px.shape
+    assert float(err.mean()) < 3.0 and int(err.max()) < 20
+
+
+def test_non_multiple_of_8_dims():
+    # edge-replicate padding must not leak into the cropped output
+    px = _gradient(13, 21)
+    out = decode_jpeg(encode_jpeg(px, quality=90))
+    assert out.shape == (13, 21, 3)
+    # the 21-px-wide gradient steps ~11 levels/pixel — steep content,
+    # so the quantization-error budget is wider than the smooth cases
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert float(err.mean()) < 10.0
+
+
+def test_grayscale_single_component():
+    g = np.tile(np.linspace(0, 255, 32).astype(np.uint8), (17, 1))
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (17, 32, 3)
+    # all three channels identical (grayscale replication)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert float(np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean()) < 6.0
+
+
+def test_subsample_and_restart_variants_agree():
+    """4:2:0 and restart-interval streams exercise the decoder's
+    multi-block MCU + RST alignment paths; on a constant-chroma image
+    every variant must reconstruct the SAME pixels as plain 4:4:4
+    (chroma decimation of a constant is lossless)."""
+    x = np.linspace(0, 255, 40).astype(np.uint8)
+    px = np.stack([np.tile(x, (36, 1))] * 3, axis=-1)
+    base = decode_jpeg(encode_jpeg(px, quality=90))
+    for kwargs in (
+        {"subsample": True},
+        {"restart_interval": 2},
+        {"subsample": True, "restart_interval": 1},
+    ):
+        out = decode_jpeg(encode_jpeg(px, quality=90, **kwargs))
+        assert np.array_equal(out, base), kwargs
+
+
+def test_quality_monotone():
+    px = _gradient(32, 32)
+    errs = []
+    for q in (30, 60, 95):
+        out = decode_jpeg(encode_jpeg(px, quality=q))
+        errs.append(float(np.abs(out.astype(int) - px.astype(int)).mean()))
+    assert errs[0] >= errs[1] >= errs[2], errs
+
+
+def test_honest_raises():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    # progressive SOF2 must raise NotImplementedError, not mis-decode
+    px = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(px))
+    i = bytes(payload).index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    # truncated entropy data (original stream, cut inside the scan)
+    orig = encode_jpeg(px)
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(orig[: len(orig) - len(orig) // 3])
+
+
+def test_real_decode_dispatch():
+    from spaghettisearch_spark.operators.multimodal import real_decode
+
+    px = _gradient(24, 30)
+    w, h, n, feat = real_decode(encode_jpeg(px, quality=90))
+    assert (w, h, n) == (30, 24, 1) and feat.shape == (8,)
