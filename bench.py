@@ -334,6 +334,38 @@ def main() -> None:
         ).collect()
     ]
     assert wh_phrase == mem_phrase, "warehouse phrase ranking != in-memory"
+
+    # serving throughput under concurrency: ONE engine, one Spark
+    # session, 4 driver threads issuing a mixed stream (term bags via
+    # WAND, a phrase via the shard search path) — Spark schedules
+    # concurrent actions from separate threads; the meta/floor caches
+    # are shared. Reported as engine_qps alongside the sequential wall
+    # for the same 16 queries, so the overlap factor is visible.
+    import concurrent.futures as _fut
+
+    qs_mix = [
+        "spark query scan", '"value table" spark', "spark scan",
+        "query table", "scan table spark",
+    ]
+
+    def _serve(q):
+        eng_wh.query_df(q, k=50, use_wand=True, backend="shards").collect()
+
+    for q in qs_mix:  # warm plans + metadata/floor caches once
+        _serve(q)
+    n_q = 16
+    stream = [qs_mix[i % len(qs_mix)] for i in range(n_q)]
+    t0 = time.time()
+    for q in stream:
+        _serve(q)
+    seq_wall = time.time() - t0
+    t0 = time.time()
+    with _fut.ThreadPoolExecutor(4) as ex:
+        list(ex.map(_serve, stream))
+    conc_wall = time.time() - t0
+    timings["engine_serve_seq16"] = round(seq_wall, 4)
+    timings["engine_serve_conc16_t4"] = round(conc_wall, 4)
+    engine_qps = round(n_q / conc_wall, 2)
     # hard gate: the WAND paths must return the same ranking as the
     # exhaustive path for the same bag — catches term-vocabulary
     # mismatches (raw vs stemmed) that would otherwise just make the
@@ -870,6 +902,9 @@ def main() -> None:
         # amortized LSM cycle at the large-Zipf scale (K segment appends
         # + one merge, per-batch, vs a full re-shard per batch)
         "lsm": lsm_summary,
+        # mixed-stream serving throughput, 4 driver threads over one
+        # warehouse engine (see engine_serve_* wall rows)
+        "engine_qps": engine_qps,
     }
     print(json.dumps(out))
 
