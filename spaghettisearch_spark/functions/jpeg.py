@@ -482,6 +482,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h = w = 0
     restart = 0
     while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG (no scan reached)")
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = payload[pos + 1]
@@ -489,6 +491,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             raise ValueError("JPEG contains no scan")
         (seg_len,) = struct.unpack_from(">H", payload, pos)
+        if pos + seg_len > len(payload):
+            raise ValueError("truncated JPEG segment")
         seg = payload[pos + 2:pos + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             i = 0

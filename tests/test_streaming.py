@@ -308,9 +308,13 @@ def test_png_real_decode_through_spark(spark):
         assert (got[d]["width"], got[d]["height"]) == (w, h)
         assert got[d]["feature"] == pytest.approx(list(feat), rel=1e-6)
 
-    # non-PNG payloads still fail loudly (no PIL in this env)
+    # formats without a built-in codec still fail loudly (no PIL in
+    # this env; TIFF magic) — and a JPEG-magic payload now routes to
+    # the REAL baseline decoder, which rejects garbage with ValueError
     with pytest.raises(NotImplementedError):
-        real_decode(b"\xff\xd8\xff\xe0 not a png")
+        real_decode(b"II*\x00 not a png")
+    with pytest.raises(ValueError):
+        real_decode(b"\xff\xd8\xff\xe0 not a jpeg")
 
 
 def test_snippets(spark, corpus_tiny):
