@@ -101,3 +101,25 @@ def test_real_decode_dispatch():
     px = _gradient(24, 30)
     w, h, n, feat = real_decode(encode_jpeg(px, quality=90))
     assert (w, h, n) == (30, 24, 1) and feat.shape == (8,)
+
+
+def test_property_random_roundtrip():
+    """Property-ish sweep: random small images across qualities,
+    sampling modes, and odd dimensions never crash, preserve shape, and
+    keep reconstruction error inside a generous quantization budget
+    (random noise is JPEG's worst case; the bound is loose by design —
+    the point is structural correctness across the parameter grid)."""
+    rng = np.random.RandomState(42)
+    for trial in range(6):
+        h = int(rng.randint(5, 40))
+        w = int(rng.randint(5, 40))
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        q = int(rng.choice([40, 70, 95]))
+        sub = bool(rng.randint(2))
+        rst = int(rng.choice([0, 1, 3]))
+        out = decode_jpeg(
+            encode_jpeg(px, quality=q, subsample=sub, restart_interval=rst)
+        )
+        assert out.shape == (h, w, 3), (trial, h, w)
+        err = float(np.abs(out.astype(int) - px.astype(int)).mean())
+        assert err < 60.0, (trial, q, sub, rst, err)
