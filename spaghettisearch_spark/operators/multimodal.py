@@ -549,16 +549,111 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+def encode_avi_mjpeg(
+    frames: list, width: int, height: int, fps: int = 25
+) -> bytes:
+    """Minimal RIFF/AVI writer for an MJPEG stream: each element of
+    ``frames`` is a complete JPEG payload (functions.jpeg.encode_jpeg).
+    The inverse that proves decode_avi_frames in tests."""
+    import struct
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    n = len(frames)
+    max_size = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", 1_000_000 // max(fps, 1), max_size * fps, 0, 0x10, n, 0,
+        1, max_size, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, max(fps, 1), 0, n,
+                      max_size, -1, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> tuple[int, int, int, list]:
+    """Pure-stdlib RIFF/AVI walker for MJPEG video: returns (width,
+    height, total_frames, [jpeg frame payloads]) from the movi list's
+    00dc/00db chunks (word-aligned, nested LIST-aware). Non-MJPEG
+    streams yield no decodable frames and raise."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = n_frames = 0
+    frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, n_frames
+        while pos + 8 <= end:
+            tag = payload[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif tag == b"avih":
+                vals = struct.unpack_from("<14I", payload, body_start)
+                n_frames = vals[4]
+                width, height = vals[8], vals[9]
+            elif tag[2:4] in (b"dc", b"db"):
+                frames.append(payload[body_start:body_start + ln])
+            pos = body_start + ln + (ln & 1)
+
+    walk(12, len(payload))
+    jpegs = [f for f in frames if f[:3] == b"\xff\xd8\xff"]
+    if not jpegs:
+        raise NotImplementedError(
+            "AVI stream carries no MJPEG frames — only MJPEG video "
+            "decodes without external codecs"
+        )
+    return width, height, n_frames or len(jpegs), jpegs
+
+
+def video_features(payload: bytes, sample_n: int = 4) -> tuple:
+    """(width, height, n_frames, feature) for an MJPEG AVI: decode up to
+    ``sample_n`` evenly spaced frames through the built-in JPEG decoder
+    and average their image features — the frame-sample operator of the
+    multimodal brief, real end-to-end."""
+    from ..functions.jpeg import decode_jpeg
+
+    w, h, n, jpegs = decode_avi_frames(payload)
+    step = max(len(jpegs) // sample_n, 1)
+    sampled = jpegs[::step][:sample_n]
+    feats = [png_features(decode_jpeg(f)) for f in sampled]
+    return w, h, n, np.mean(np.stack(feats), axis=0).astype(np.float32)
+
+
 def real_decode(payload: bytes):
     """Real decode slot: PNG bytes decode through the built-in
     pure-stdlib codec (decode_png), 24-bit BMP through decode_bmp,
     GIF87a/89a through decode_gif, baseline JPEG through
     functions.jpeg.decode_jpeg, and RIFF/WAVE audio through decode_wav
     (audio rows report (channels, sample_rate) in the (width, height)
-    slots and sample count as n_frames); remaining image formats go
-    through PIL when importable and otherwise raise the honest
-    NotImplementedError. Video payloads have no codec wired — they
-    surface as ValueError (undecodable), never a silent fake."""
+    slots and sample count as n_frames); MJPEG AVI video frame-samples
+    through decode_avi_frames + the JPEG decoder (video_features:
+    width/height/total-frames + averaged sampled-frame features).
+    Remaining image formats go through PIL when importable and
+    otherwise raise the honest NotImplementedError; non-MJPEG video
+    raises (undecodable without external codecs), never a silent
+    fake."""
     if payload[:8] == PNG_MAGIC:
         px = decode_png(payload)
         h, w, _ch = px.shape
@@ -567,6 +662,8 @@ def real_decode(payload: bytes):
         samples, sr = decode_wav(payload)
         n, ch = samples.shape
         return ch, sr, n, wav_features(samples, sr)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return video_features(payload)
     if payload[:2] == b"BM":
         px = decode_bmp(payload)
         h, w, _ch = px.shape
