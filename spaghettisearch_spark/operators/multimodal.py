@@ -15,9 +15,10 @@ bounded reconstruction error — JPEG is lossy). Remaining formats
 (WebP, TIFF, …) go through PIL when importable and otherwise raise the
 honest NotImplementedError. RIFF/WAVE audio decodes for REAL too
 (decode_wav: PCM 8/16-bit, any channel count, pad-byte-correct chunk
-walk, with encode_wav as the bit-exact inverse); video codecs are not
-wired (undecodable payloads raise, never fake); fake_decode remains
-the hash-derived stand-in for plumbing tests.
+walk, with encode_wav as the bit-exact inverse), and MJPEG AVI video
+frame-samples for real through decode_avi_frames + the JPEG decoder
+(video_features; non-MJPEG video raises, never fakes); fake_decode
+remains the hash-derived stand-in for plumbing tests.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 chunks each incoming Arrow batch by payload-byte budget
