@@ -386,6 +386,8 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.d):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.d[self.pos]
         if b == 0xFF:
             nxt = self.d[self.pos + 1]
@@ -435,6 +437,8 @@ class _HuffTree:
     — O(code length) per symbol, no dict of every prefix."""
 
     def __init__(self, bits, values):
+        if len(bits) != 16 or sum(bits) != len(values):
+            raise ValueError("malformed DHT segment")
         self.values = values
         self.min_code = [0] * 17
         self.max_code = [-1] * 17
@@ -596,7 +600,12 @@ def _decode_scan(payload, pos, scan, qt, huff, h, w, restart):
                                 zz[i] = _extend(br.bits(s), s)
                                 i += 1
                             coef = np.zeros(64)
-                            coef[ZIGZAG] = zz * q
+                            # zz[i] is the i-th ZIGZAG-order coefficient,
+                            # i.e. natural position ZIGZAG[i] — so its
+                            # quantizer is q[ZIGZAG[i]] (q is stored in
+                            # natural order), mirroring the encoder's
+                            # coef[ZIGZAG] / q[ZIGZAG]
+                            coef[ZIGZAG] = zz * q[ZIGZAG]
                             blk = _A.T @ coef.reshape(8, 8) @ _A + 128.0
                             y0 = (my * cv + by) * 8
                             x0 = (mx * ch + bx) * 8

@@ -331,6 +331,14 @@ def search_from_shards(
             "shard-backed serving requires bm25 impact weights; "
             "tfidf_cosine needs the in-memory path"
         )
+    # ONE doc_map probe serves both the key-mode guard and the
+    # dense_keys default — two back-to-back limit(1) jobs for the same
+    # row would double the per-query fixed cost for default callers
+    m_row = (
+        doc_map.select("doc_key").limit(1).collect()
+        if (not skip_key_check or dense_keys is None)
+        else []
+    )
     if not skip_key_check:
         s_row = (
             shards.select(F.element_at("top_doc_keys", 1).alias("k"))
@@ -338,7 +346,6 @@ def search_from_shards(
             if "top_doc_keys" in shards.columns
             else []
         )
-        m_row = doc_map.select("doc_key").limit(1).collect()
         if s_row and m_row:
             s_dense = int(s_row[0]["k"]) < (1 << 44)
             m_dense = int(m_row[0]["doc_key"]) < (1 << 44)
@@ -355,9 +362,8 @@ def search_from_shards(
         query, cfg.remove_stopwords, cfg.stem
     )
     if dense_keys is None:
-        # probe once: dense doc_idx values are < n_docs (far below
-        # 2^44), hash keys uniform in [0, 2^60)
-        m_row = doc_map.select("doc_key").limit(1).collect()
+        # from the shared probe above: dense doc_idx values are < n_docs
+        # (far below 2^44), hash keys uniform in [0, 2^60)
         dense_keys = bool(m_row) and int(m_row[0]["doc_key"]) < (1 << 44)
     # dense-key serving scores entirely on long keys (the dense doc_idx
     # is assigned in global doc_id sort order, so (score desc, key asc)

@@ -636,9 +636,12 @@ def video_features(payload: bytes, sample_n: int = 4) -> tuple:
     from ..functions.jpeg import decode_jpeg
 
     w, h, n, jpegs = decode_avi_frames(payload)
-    step = max(len(jpegs) // sample_n, 1)
-    sampled = jpegs[::step][:sample_n]
-    feats = [png_features(decode_jpeg(f)) for f in sampled]
+    # genuinely even spacing, first AND last frame included — a
+    # stride-based [::step][:n] clusters at the head and never sees
+    # late-clip content
+    k = min(sample_n, len(jpegs))
+    idx = np.unique(np.round(np.linspace(0, len(jpegs) - 1, k)).astype(int))
+    feats = [png_features(decode_jpeg(jpegs[i])) for i in idx]
     return w, h, n, np.mean(np.stack(feats), axis=0).astype(np.float32)
 
 

@@ -625,10 +625,11 @@ def wand_topk_from_shards(
     default, so tiny corpora never pay the extra job and long posting
     lists always get the tighter plan. The decision is recorded in
     ``LAST_SKIP_STATS["two_phase"]``. When ``meta_cache`` is supplied the
-    wave-1 floor is cached beside the term metadata keyed by (bag, k) —
-    the floor is a deterministic, PR-independent function of the shards
-    frame and the bag, so a REPEAT query reuses it, plans with the
-    near-oracle threshold, and skips the wave's extra job entirely
+    wave-1 floor is cached beside the term metadata keyed by (bag, k,
+    field/blend weights) — the floor is a deterministic, PR-independent
+    function of the shards frame, the bag, and the cfg's scoring
+    weights, so a REPEAT query reuses it, plans with the near-oracle
+    threshold, and skips the wave's extra job entirely
     (``LAST_SKIP_STATS["floor_cached"]``); invalidation rides the
     existing meta_cache contract (drop the dict when shards change).
 
@@ -740,15 +741,22 @@ def wand_topk_from_shards(
             extra_ub = cfg.w_pagerank * cfg.blend_scale * float(pr_max or 0.0)
         qtf_map = {t: float(counts[t]) for t in term_list}
         # exact-floor cache: the wave-1 floor is a pure function of
-        # (shards, bag, k) — deterministic, PR-independent (wave scores
-        # omit PR mass). A serving node sees the same hot bags over and
-        # over; caching the floor beside the term metadata gives repeat
-        # queries the near-oracle two-phase plan at single-phase cost
-        # (zero extra jobs). The cache dies with meta_cache, which the
-        # caller must drop whenever the shards frame changes — exactly
-        # the invalidation the floor needs for admissibility.
+        # (shards, bag, k) AND the scoring weights the wave multiplies
+        # in (w_title/w_body/blend_scale — so those are part of the
+        # key: a floor computed under heavier field weights would be an
+        # INADMISSIBLE threshold for a lighter cfg sharing the cache).
+        # PR-independent (wave scores omit PR mass). A serving node
+        # sees the same hot bags over and over; caching the floor
+        # beside the term metadata gives repeat queries the near-oracle
+        # two-phase plan at single-phase cost (zero extra jobs). The
+        # cache dies with meta_cache, which the caller must drop
+        # whenever the shards frame changes — exactly the invalidation
+        # the floor needs for admissibility.
         floor_key = (
-            "\x00floor:" + repr((tuple(sorted(qtf_map.items())), k))
+            "\x00floor:" + repr((
+                tuple(sorted(qtf_map.items())), k,
+                cfg.w_title, cfg.w_body, cfg.blend_scale,
+            ))
             if meta_cache is not None
             else None
         )

@@ -597,11 +597,12 @@ def test_mjpeg_avi_video_frame_sample():
     assert jpegs == frames  # container round-trip is byte-exact
     fw, fh, fn, feat = video_features(avi, sample_n=3)
     assert (fw, fh, fn) == (w, h, n) and feat.shape == (8,)
-    # feature = mean over the sampled frames' decoded features
-    step = max(len(jpegs) // 3, 1)
+    # feature = mean over EVENLY spaced sampled frames — first and last
+    # frame both included, so late-clip content influences the feature
+    idx = np.unique(np.round(np.linspace(0, len(jpegs) - 1, 3)).astype(int))
+    assert idx[0] == 0 and idx[-1] == len(jpegs) - 1
     want = np.mean(
-        np.stack([png_features(decode_jpeg(f)) for f in jpegs[::step][:3]]),
-        axis=0,
+        np.stack([png_features(decode_jpeg(jpegs[i])) for i in idx]), axis=0
     )
     assert np.allclose(feat, want, rtol=1e-6)
     # real_decode dispatch

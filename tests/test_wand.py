@@ -737,6 +737,22 @@ def test_floor_cache_repeat_query(spark, docs_small, tmp_path):
         two_phase="auto", meta_cache=cache,
     ).collect()
     assert wand_mod.LAST_SKIP_STATS["floor_cached"] == 0
+    # ...and neither must a different scoring cfg sharing the cache:
+    # floors embed the field/blend weights (a floor computed under
+    # heavier weights would be an inadmissible threshold here)
+    lighter = replace(eager, w_body=eager.w_body * 0.5)
+    got3 = wand_topk_from_shards(
+        spark, shards, doc_map, terms, lighter, k=10, dense_keys=True,
+        two_phase="auto", meta_cache=cache,
+    ).collect()
+    assert wand_mod.LAST_SKIP_STATS["floor_cached"] == 0
+    want3 = [
+        r["doc_id"]
+        for r in search(
+            spark, idx, "dispatch buffer parse", lighter, k=10
+        ).collect()
+    ]
+    assert [r["doc_id"] for r in got3] == want3
 
 
 def test_range_level_decode_pruning(spark):
