@@ -191,3 +191,39 @@ def test_warehouse_engine_serves_and_compacts(spark, docs_tiny, tmp_path):
         for c in eng.query("parse buffer", k=5, use_wand=True,
                            backend="shards")
     } == before
+
+
+def test_concurrent_queries_one_engine(spark, docs_small):
+    """The serving claim behind the bench's engine_qps row: concurrent
+    queries from multiple driver threads against ONE engine (shared
+    Spark session, shared metadata/floor caches) return exactly the
+    sequential results — no cache races, no cross-query contamination."""
+    import concurrent.futures as fut
+
+    from spaghettisearch_spark.api import SearchEngine
+
+    eng = SearchEngine.build(
+        spark, spark.createDataFrame(docs_small.head(150)),
+        with_shards=True, with_pagerank=False,
+    )
+    queries = [
+        ("dispatch buffer parse", True),
+        ('"hash table" parse', False),
+        ("parse", True),
+        ("buffer", True),
+    ]
+    want = {
+        q: [r["doc_id"] for r in eng.query(q, backend="shards", use_wand=w)]
+        for q, w in queries
+    }
+
+    def run(args):
+        q, w = args
+        return q, [
+            r["doc_id"] for r in eng.query(q, backend="shards", use_wand=w)
+        ]
+
+    stream = [queries[i % len(queries)] for i in range(12)]
+    with fut.ThreadPoolExecutor(4) as ex:
+        for q, got in ex.map(run, stream):
+            assert got == want[q], q
