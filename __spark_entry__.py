@@ -1509,8 +1509,10 @@ LIMIT 10
     # Unicode whitespace (incl. NBSP and the \\x1c-\\x1f separators) —
     # normalize every such codepoint to a plain space BEFORE the split so
     # both sides see identical token boundaries on any corpus
+    # \x0b (vertical tab) included: Python str.split() breaks on it but
+    # RE2's \s ([\t\n\f\r ]) does not — verified against DuckDB
     _uws = (
-        "[\\x1c-\\x1f\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}"
+        "[\\x0b\\x1c-\\x1f\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}"
         "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
     )
     sqls["snippets"] = f"""

@@ -13,7 +13,7 @@ class; rank semantics are covered by the oracle tests.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -297,7 +297,7 @@ class SearchEngine:
                 "LSM maintenance requires a build(..., warehouse_dir=...)"
             )
 
-    def _overwrite_touched(self, frame) -> None:
+    def _overwrite_touched(self, frame, expect_shards=()) -> None:
         shards_path = f"{self.warehouse_dir}/posting_shards"
         # the touched frame READS shards_path (Spark refuses to overwrite
         # a path that feeds the writing plan): materialize it first —
@@ -309,22 +309,115 @@ class SearchEngine:
             .partitionBy("shard")
             .parquet(shards_path)
         )
+        if expect_shards:
+            # dynamic overwrite only rewrites partitions PRESENT in the
+            # written data — a touched partition whose merged output is
+            # EMPTY (tombstones deleted a shard's only term) would keep
+            # serving its stale files forever. Overwrite those leaf
+            # directories with an explicit zero-row parquet of the same
+            # non-partition schema (<= n_shards bounded collect).
+            present = {
+                r["shard"]
+                for r in frame.select("shard").distinct().collect()
+            }
+            for sid in sorted(set(expect_shards) - present):
+                (
+                    self.spark.createDataFrame(
+                        [], frame.drop("shard").schema
+                    )
+                    .write.mode("overwrite")
+                    .parquet(f"{shards_path}/shard={sid}")
+                )
         self.shards = self.spark.read.parquet(shards_path)
         self.meta_cache.clear()
 
-    def apply_merge(self, delta, delete_postings=None) -> None:
+    def apply_merge(
+        self, delta, delete_postings=None, new_doc_map=None,
+        new_corpus=None,
+    ) -> None:
         """Compact a delta shard segment (built against THIS engine's
         doc_map/doc_dim key space) into the warehouse. I/O is bounded by
         the shard partitions the delta touches; untouched blocks pass
-        through undecoded (merge_posting_shards partitions_only)."""
+        through undecoded (merge_posting_shards partitions_only).
+
+        ``new_doc_map`` (doc_key, doc_id): dimension rows for docs this
+        delta INTRODUCES (from compression.extend_doc_dim) — appended to
+        the warehouse doc_map before the merge. Required whenever the
+        delta references keys beyond the current dimension: a posting
+        whose key the map cannot hydrate would otherwise be silently
+        dropped from top-k output after ranking, so that case raises
+        loudly instead (checked from the delta's block-metadata samples,
+        no payload decode).
+
+        ``new_corpus`` (ingested rows for the SAME new docs): extends
+        the engine's card surface — doc_meta (hydration) and the
+        snippet corpus — so result cards for merged-in docs don't
+        silently vanish at the post-top-k joins. Without it the
+        POSTINGS serve correctly but query_df's hydration (inner
+        broadcast joins, deliberately: a left join would plan an SMJ
+        over the corpus-sized side) drops unknown doc_ids."""
+        from .functions.hashing import term_hash60_col
         from .operators.compression import merge_posting_shards
 
         self._require_warehouse()
+        if new_corpus is not None:
+            from .operators.index_build import build_doc_meta, tokenize_fields
+
+            nc = new_corpus.localCheckpoint(eager=True)
+            meta_new = build_doc_meta(nc, tokenize_fields(nc, cfg=self.cfg))
+            self.index = replace(
+                self.index,
+                doc_meta=self.index.doc_meta.unionByName(
+                    meta_new, allowMissingColumns=True
+                ).localCheckpoint(eager=False),
+            )
+            if self.corpus is not None:
+                self.corpus = self.corpus.unionByName(
+                    nc.select(*self.corpus.columns)
+                ).localCheckpoint(eager=False)
+        mx = delta.agg(
+            F.max(F.array_max("top_doc_keys")).alias("m")
+        ).first()["m"]
+        if new_doc_map is not None:
+            # accept either (doc_key, doc_id) or extend_doc_dim's FULL
+            # (doc_id, doc_idx) dim — only rows past the current
+            # dimension are appended, so passing the whole extended dim
+            # never duplicates existing mappings
+            if "doc_idx" in new_doc_map.columns:
+                new_doc_map = new_doc_map.select(
+                    F.col("doc_idx").alias("doc_key"), "doc_id"
+                )
+            fresh_rows = new_doc_map.filter(F.col("doc_key") >= self.n_docs)
+            map_path = f"{self.warehouse_dir}/doc_map"
+            n_new = fresh_rows.count()
+            fresh_rows.select("doc_key", "doc_id").write.mode(
+                "append"
+            ).parquet(map_path)
+            self.doc_map = self.spark.read.parquet(map_path)
+            self.n_docs += n_new
+        if mx is not None and int(mx) >= self.n_docs:
+            raise ValueError(
+                f"delta references doc_key {int(mx)} beyond the warehouse "
+                f"dimension (n_docs={self.n_docs}) — pass the new docs' "
+                "dimension rows via new_doc_map= (extend_doc_dim), or the "
+                "ranked rows would silently vanish at hydration"
+            )
+        # expected touched partitions, same derivation the merge uses —
+        # so an emptied partition is still rewritten (see
+        # _overwrite_touched)
+        ids = {r[0] for r in delta.select("shard").distinct().collect()}
+        if delete_postings is not None:
+            ids |= {
+                r[0]
+                for r in delete_postings.select(
+                    (term_hash60_col("term") % self.cfg.n_shards).cast("int")
+                ).distinct().collect()
+            }
         touched = merge_posting_shards(
             self.shards, delta, self.n_docs, self.cfg,
             delete_postings=delete_postings, partitions_only=True,
         )
-        self._overwrite_touched(touched)
+        self._overwrite_touched(touched, expect_shards=ids)
 
     def refresh_stats(self, drift_threshold: float = 0.1) -> None:
         """Re-weight the (term, field) groups whose encoded df drifted

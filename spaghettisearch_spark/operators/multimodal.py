@@ -286,9 +286,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if pos + 8 + ln > len(payload):
+            # a declared chunk length past the buffer means a truncated
+            # or corrupt file — raise, never decode a silently shorter
+            # clip ("honest decode, never fake")
+            raise ValueError("truncated WAV chunk")
         chunk = payload[pos + 8:pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if tag == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("malformed WAV fmt chunk")
             audio_fmt, ch, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", chunk[:16]
             )

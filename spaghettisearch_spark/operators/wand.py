@@ -575,7 +575,10 @@ def plan_blocks(
     # best case (incomplete groups' maxima + PR mass) provably misses
     # the threshold
     cand: list[int] | None = None
-    u_out = sum(unsampled_ub[g] for g in incomplete) + extra_ub
+    # .get: a group whose blended factor is 0 (e.g. w_title=0 body-only
+    # ranking) lands in `incomplete` with bound 0.0, which the `>` guard
+    # above never inserted — its contribution to u_out is rightly zero
+    u_out = sum(unsampled_ub.get(g, 0.0) for g in incomplete) + extra_ub
     if u_out < thr_eps:
         cand = sorted(
             {dk for r in meta_rows for dk in (r["top_doc_keys"] or [])}
@@ -778,8 +781,21 @@ def wand_topk_from_shards(
             # threshold the wave's fixed job cost dominates any saving
             # (the measured local regime); above it, skipped posting
             # volume grows with the corpus while the wave cost stays
-            # O(|samples| x |groups|).
-            run_wave = _plan_df(meta, keep) >= cfg.two_phase_auto_min_postings
+            # O(|samples| x |groups|). When DOC-level candidate pruning
+            # is already admissible, phase 2 scales with |candidates|
+            # regardless of kept blocks — the wave would be a strictly
+            # wasteful extra decode pass, so skip it.
+            run_wave = (
+                cand_keys is None
+                and _plan_df(meta, keep) >= cfg.two_phase_auto_min_postings
+            )
+        elif isinstance(two_phase, str):
+            # loud guard: "Auto"/"off"/any other string would silently
+            # bool() to True — enabling the wave a caller tried to
+            # disable is the worst possible misread
+            raise ValueError(
+                f"two_phase={two_phase!r}: expected True, False, or 'auto'"
+            )
         else:
             run_wave = bool(two_phase)
         LAST_SKIP_STATS["two_phase"] = int(run_wave)

@@ -227,3 +227,84 @@ def test_concurrent_queries_one_engine(spark, docs_small):
     with fut.ThreadPoolExecutor(4) as ex:
         for q, got in ex.map(run, stream):
             assert got == want[q], q
+
+
+def test_apply_merge_clears_emptied_partition(spark, docs_small, tmp_path):
+    """Dynamic partition overwrite only rewrites partitions present in
+    the written data — a touched partition whose merged output is EMPTY
+    (tombstones deleted everything in it) must still be rewritten, or
+    deleted postings would be served forever from its stale files."""
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.api import SearchEngine
+    from spaghettisearch_spark.operators.compression import decode_shards
+
+    eng = SearchEngine.build(
+        spark, spark.createDataFrame(docs_small.head(120)),
+        warehouse_dir=str(tmp_path / "wh"), with_pagerank=False,
+    )
+    sid = int(eng.shards.select("shard").first()["shard"])
+    before_other = eng.shards.filter(F.col("shard") != sid).count()
+    assert eng.shards.filter(F.col("shard") == sid).count() > 0
+    dels = (
+        decode_shards(eng.shards.filter(F.col("shard") == sid))
+        .select("term", "field", "doc_key")
+        .localCheckpoint(eager=True)
+    )
+    eng.apply_merge(eng.shards.limit(0), delete_postings=dels)
+    assert eng.shards.filter(F.col("shard") == sid).count() == 0
+    assert eng.shards.filter(F.col("shard") != sid).count() == before_other
+
+
+def test_apply_merge_guards_unknown_doc_keys(spark, docs_small, tmp_path):
+    """A delta referencing doc_keys beyond the warehouse dimension must
+    raise loudly (silently dropping ranked docs at hydration is the
+    failure mode), and passing the extended dim via new_doc_map= makes
+    the same merge succeed and the new doc queryable."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.api import SearchEngine
+    from spaghettisearch_spark.operators.compression import (
+        build_posting_shards,
+        extend_doc_dim,
+    )
+    from spaghettisearch_spark.operators.index_build import build_index
+    from spaghettisearch_spark.sources.corpus import ingest
+
+    eng = SearchEngine.build(
+        spark, spark.createDataFrame(docs_small.head(100)),
+        warehouse_dir=str(tmp_path / "wh"), with_pagerank=False,
+    )
+    n0 = eng.n_docs
+    new_raw = spark.createDataFrame(
+        [("r", "znewpath9999", "c", "python",
+          "zzuniqueterm zzuniqueterm parse")],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    # ingest DERIVES doc_id (content-addressed) — use the derived id
+    new_corpus = ingest(new_raw).localCheckpoint(eager=True)
+    new_id = new_corpus.select("doc_id").first()["doc_id"]
+    old_dim = eng.doc_map.select(
+        "doc_id", F.col("doc_key").alias("doc_idx")
+    )
+    ext = extend_doc_dim(old_dim, new_corpus.select("doc_id")).localCheckpoint(
+        eager=True
+    )
+    idx_new = build_index(new_corpus, eng.cfg)
+    delta = build_posting_shards(
+        idx_new.postings, n0 + 1, eng.cfg,
+        doc_dim=ext, weight_col="bm25_weight",
+    ).localCheckpoint(eager=True)
+    assert delta.count() > 0
+    with _pytest.raises(ValueError, match="beyond the warehouse dimension"):
+        eng.apply_merge(delta)
+    eng.apply_merge(delta, new_doc_map=ext, new_corpus=new_corpus)
+    assert eng.n_docs == n0 + 1
+    # the full card surface serves the merged-in doc: postings (shards),
+    # dimension (doc_map), metadata (doc_meta) and snippet corpus all
+    # extended — an inner hydration join dropping it would return []
+    got = eng.query_df("zzuniqueterm", use_wand=True, backend="shards").collect()
+    assert [r["doc_id"] for r in got] == [new_id]
+    assert "zzuniqueterm" in got[0]["snippet"]

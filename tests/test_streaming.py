@@ -622,3 +622,27 @@ def test_mjpeg_avi_video_frame_sample():
         raise AssertionError("non-MJPEG AVI must raise")
     except NotImplementedError:
         pass
+
+
+def test_wav_malformed_raises_valueerror():
+    """Truncated/corrupt WAV payloads raise ValueError (the codec
+    contract), never struct.error or a silently shorter clip."""
+    import struct
+
+    import pytest as _pytest
+
+    from spaghettisearch_spark.operators.multimodal import decode_wav
+
+    # fmt chunk shorter than 16 bytes
+    fmt4 = b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(fmt4)) + fmt4)
+    # data chunk declaring a length past the buffer
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 1000) + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)

@@ -835,3 +835,58 @@ def test_range_level_decode_pruning(spark):
     ]
     dim.unpersist()
     shards.unpersist()
+
+
+def test_two_phase_string_guard_and_zero_weight_field(spark):
+    """Two review regressions: (1) a non-'auto' string for two_phase
+    must raise, not silently bool() to True ('off' ENABLING the wave is
+    the worst misread); (2) a zero blended field weight (body-only
+    ranking) must not crash the planner's unsampled-doc bound when a
+    hot group of that field is sample-incomplete."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.operators.compression import (
+        BLOCK_SAMPLE_N,
+        build_doc_dim,
+        build_posting_shards,
+    )
+    from spaghettisearch_spark.operators.wand import wand_topk_from_shards
+
+    cfg = replace(DEFAULT, w_title=0.0)
+    n = 1000  # hot blocks ~62 postings > BLOCK_SAMPLE_N -> incomplete
+    docs = [f"d{i:04d}" for i in range(n)]
+    rows = [("hott", "title", d, 1, [0], 1.0) for d in docs]
+    rows += [("raresig", "body", d, 1, [1], 10.0) for d in docs[3:9]]
+    postings = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_id string, tf int, "
+        "positions array<int>, weight double",
+    )
+    ids = spark.createDataFrame([(d,) for d in docs], "doc_id string")
+    dim = build_doc_dim(ids).cache()
+    dim.count()
+    shards = build_posting_shards(
+        postings, n, cfg, doc_dim=dim, weight_col="weight"
+    ).cache()
+    assert (
+        shards.filter(
+            (F.col("term") == "hott") & (F.col("df") > BLOCK_SAMPLE_N)
+        ).count()
+        > 0
+    ), "fixture must make the zero-weight hot group sample-incomplete"
+    doc_map = dim.select(F.col("doc_idx").alias("doc_key"), "doc_id")
+    got = wand_topk_from_shards(
+        spark, shards, doc_map, ["raresig", "hott"], cfg, k=5,
+        dense_keys=True,
+    ).collect()
+    # title weight 0 -> only raresig's body postings score
+    assert [r["doc_id"] for r in got] == docs[3:8]
+    with pytest.raises(ValueError, match="two_phase"):
+        wand_topk_from_shards(
+            spark, shards, doc_map, ["raresig"], cfg, k=5,
+            dense_keys=True, two_phase="Auto",
+        )
+    dim.unpersist()
+    shards.unpersist()
