@@ -641,9 +641,13 @@ def test_two_phase_auto(spark, docs_small, tmp_path):
     """``two_phase="auto"``: the planner itself decides whether the
     exact-floor wave pays, from metadata it already holds (total kept
     posting volume vs ``two_phase_auto_min_postings``). On a small
-    corpus auto stays single-phase (the extra job would dominate); with
-    the threshold forced to 0 auto runs the wave — both exact, and the
-    decision is observable in LAST_SKIP_STATS."""
+    corpus auto stays single-phase (the extra job would dominate), and
+    even with the volume threshold forced to 0 it stays single-phase
+    when DOC-level candidate pruning is already admissible (phase 2
+    then scales with |candidates| — the wave would be a strictly
+    wasteful extra decode pass); an explicit two_phase=True still runs
+    the wave and can only tighten the kept set. All exact, decisions
+    observable in LAST_SKIP_STATS."""
     from dataclasses import replace
 
     from spaghettisearch_spark.operators import wand as wand_mod
@@ -677,7 +681,17 @@ def test_two_phase_auto(spark, docs_small, tmp_path):
         two_phase="auto",
     ).collect()
     assert [r["doc_id"] for r in got2] == want
-    assert wand_mod.LAST_SKIP_STATS["two_phase"] == 1  # wave 1 ran
+    # this bag admits candidate pruning on this corpus, so auto SKIPS
+    # the wave even at threshold 0 (phase 2 is already |candidates|-
+    # bounded)
+    assert wand_mod.LAST_SKIP_STATS["cand_docs"] > 0
+    assert wand_mod.LAST_SKIP_STATS["two_phase"] == 0
+    got3 = wand_topk_from_shards(
+        spark, shards, doc_map, terms, eager, k=10, dense_keys=True,
+        two_phase=True,
+    ).collect()
+    assert [r["doc_id"] for r in got3] == want
+    assert wand_mod.LAST_SKIP_STATS["two_phase"] == 1  # explicit wave ran
     assert wand_mod.LAST_SKIP_STATS["kept"] <= kept_1p
 
 
@@ -712,9 +726,11 @@ def test_floor_cache_repeat_query(spark, docs_small, tmp_path):
     ]
     eager = replace(DEFAULT, two_phase_auto_min_postings=0)
     cache: dict = {}
+    # explicit two_phase=True: on this bag auto would skip the wave
+    # (candidate pruning is admissible) and never cache a floor
     got1 = wand_topk_from_shards(
         spark, shards, doc_map, terms, eager, k=10, dense_keys=True,
-        two_phase="auto", meta_cache=cache,
+        two_phase=True, meta_cache=cache,
     ).collect()
     s1 = dict(wand_mod.LAST_SKIP_STATS)
     assert s1["two_phase"] == 1 and s1["floor_cached"] == 0
