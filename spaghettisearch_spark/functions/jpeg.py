@@ -237,14 +237,15 @@ def _encode_block(bwr, blk, q, dc_tab, ac_tab, pred_dc: int) -> int:
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 85,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF JPEG from HxWx3 (or HxW grayscale) uint8 RGB.
-    ``subsample=True`` emits 4:2:0 (2x2 luma blocks per MCU, chroma
-    averaged 2x2) and ``restart_interval=N`` emits RSTn markers every N
-    MCUs — both exist mainly so the DECODER's sampling/restart paths
-    are exercised by streams this module can synthesize itself."""
+    ``subsample`` is False (4:4:4), True or "420" (2x2 luma blocks per
+    MCU, chroma averaged 2x2), or "422" (2x1 luma blocks, chroma
+    averaged horizontally); ``restart_interval=N`` emits RSTn markers
+    every N MCUs — these exist mainly so the DECODER's sampling/restart
+    paths are exercised by streams this module can synthesize itself."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if gray:
@@ -254,6 +255,10 @@ def encode_jpeg(
         raise ValueError("encode_jpeg wants HxWx3 RGB or HxW grayscale")
     if not (1 <= quality <= 100):
         raise ValueError("quality in [1, 100]")
+    if subsample is True:
+        subsample = "420"
+    if subsample not in (False, "420", "422"):
+        raise ValueError("subsample: False, True/'420', or '422'")
     if ch == 1:
         subsample = False
     # quality-scaled Annex K tables (IJG convention)
@@ -274,18 +279,22 @@ def encode_jpeg(
     else:
         comps = [f[:, :, 0]]
     n_comp = len(comps)
-    samp = (
-        [(2, 2)] + [(1, 1)] * (n_comp - 1)
-        if subsample
-        else [(1, 1)] * n_comp
-    )
-    if subsample:
+    if subsample == "420":
+        samp = [(2, 2)] + [(1, 1)] * (n_comp - 1)
         # chroma 2x2 mean (edge-replicate odd dims first)
         for i in (1, 2):
             c = _pad_plane(comps[i], -(-h // 2) * 2, -(-w // 2) * 2)
             comps[i] = 0.25 * (
                 c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]
             )
+    elif subsample == "422":
+        samp = [(2, 1)] + [(1, 1)] * (n_comp - 1)
+        # chroma horizontal mean only
+        for i in (1, 2):
+            c = _pad_plane(comps[i], h, -(-w // 2) * 2)
+            comps[i] = 0.5 * (c[:, 0::2] + c[:, 1::2])
+    else:
+        samp = [(1, 1)] * n_comp
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))

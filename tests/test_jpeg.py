@@ -75,11 +75,26 @@ def test_subsample_and_restart_variants_agree():
     base = decode_jpeg(encode_jpeg(px, quality=90))
     for kwargs in (
         {"subsample": True},
+        {"subsample": "420"},
+        {"subsample": "422"},
         {"restart_interval": 2},
         {"subsample": True, "restart_interval": 1},
+        {"subsample": "422", "restart_interval": 2},
     ):
         out = decode_jpeg(encode_jpeg(px, quality=90, **kwargs))
         assert np.array_equal(out, base), kwargs
+    # on a chroma GRADIENT the loss ordering is 4:4:4 <= 4:2:2 <= 4:2:0
+    g = np.zeros((32, 32, 3), dtype=np.uint8)
+    g[:, :, 0] = np.linspace(50, 200, 32)[None, :]
+    g[:, :, 2] = np.linspace(50, 200, 32)[:, None]
+    errs = [
+        float(np.abs(
+            decode_jpeg(encode_jpeg(g, quality=90, subsample=s)).astype(int)
+            - g.astype(int)
+        ).mean())
+        for s in (False, "422", "420")
+    ]
+    assert errs[0] <= errs[1] <= errs[2], errs
 
 
 def test_quality_monotone():

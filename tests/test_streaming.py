@@ -646,3 +646,45 @@ def test_wav_malformed_raises_valueerror():
     )
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_gif_local_color_table():
+    """Decoder path untested by the writer (which emits a global table):
+    an image with NO global table and a LOCAL color table must decode
+    against the local palette."""
+    import struct
+
+    import numpy as np
+
+    from spaghettisearch_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = (np.arange(5 * 4) % 16).astype(np.uint8).reshape(5, 4)
+    payload = bytearray(encode_gif(idx, pal))
+    # surgery: turn OFF the global table (screen flags), drop the 48-byte
+    # GCT, and re-insert the table as a LOCAL one after the image
+    # descriptor with the local-table flag set
+    flags = payload[10]
+    depth = (flags & 0x07)
+    gct_len = (2 << depth) * 3
+    assert payload[10] & 0x80
+    payload[10] = flags & 0x7F  # GCT off
+    gct = bytes(payload[13:13 + gct_len])
+    del payload[13:13 + gct_len]
+    ipos = 13
+    assert payload[ipos] == 0x2C
+    payload[ipos + 9] |= 0x80 | depth  # local table flag + size
+    local = payload[:ipos + 10] + gct + payload[ipos + 10:]
+    out = decode_gif(bytes(local))
+    assert np.array_equal(out, pal[idx])
+    # and an image with NEITHER table raises
+    no_table = payload[:ipos + 10]
+    no_table[ipos + 9] &= ~0x80
+    try:
+        decode_gif(bytes(no_table + payload[ipos + 10:]))
+        raise AssertionError("GIF without any color table must raise")
+    except ValueError:
+        pass
