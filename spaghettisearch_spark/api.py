@@ -143,6 +143,27 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
+    def _hydration_meta(self) -> DataFrame:
+        """doc_meta persisted for serving. The Index holds doc_meta as a
+        LAZY frame (build_doc_meta = two aggregations over the tokens
+        table), so hydrating against it re-runs that pipeline on EVERY
+        query — measured ~0.3 s/query at sf0.1, pure recompute. A
+        serving node keeps this index table materialized (the
+        reference's forward table lives in its DB); memoized by object
+        identity so apply_merge's doc_meta replacement invalidates it.
+        """
+        from pyspark import StorageLevel
+
+        cached = self.__dict__.get("_meta_persisted")
+        if cached is not None:
+            if cached is self.index.doc_meta:
+                return cached
+            cached.unpersist()
+        dm = self.index.doc_meta.persist(StorageLevel.MEMORY_AND_DISK)
+        self.__dict__["_meta_persisted"] = dm
+        return dm
+
+    # ------------------------------------------------------------------
     def query_df(
         self,
         q: str,
@@ -197,7 +218,7 @@ class SearchEngine:
 
                 topk = search_from_shards(
                     self.spark, self.shards, self.doc_map, q, self.cfg,
-                    pagerank=pr, k=k, doc_meta=self.index.doc_meta,
+                    pagerank=pr, k=k, doc_meta=self._hydration_meta(),
                     skip_key_check=True,  # build() made the pair itself
                     dense_keys=True,  # build() keys by dense doc_idx
                 )
@@ -215,8 +236,9 @@ class SearchEngine:
         if not hydrated:
             # inner broadcast-left join (see bm25.search hydrate note):
             # a left join here planned SortMergeJoin over all of doc_meta
-            topk = F.broadcast(topk).join(self.index.doc_meta, "doc_id")
-            topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            topk = F.broadcast(topk).join(self._hydration_meta(), "doc_id")
+            # limit(k): no-op on <=k rows, plans TakeOrderedAndProject
+            topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if self.corpus is not None:
             # broadcast build = the k-row side, stream = the corpus scan;
             # output follows the streamed side, so restore the total
@@ -227,7 +249,7 @@ class SearchEngine:
             topk = with_snippets(
                 topk, "content", terms, phrases, stem=self.cfg.stem
             ).drop("content")
-            topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return topk
 
     def query(

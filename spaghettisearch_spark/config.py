@@ -67,6 +67,15 @@ class EngineConfig:
     # overhead dominates, measured 2.1 s vs 1.3 s) and ON in the
     # long-posting-list regime the operator exists for.
     two_phase_auto_min_postings: int = 200_000
+    # scale-adaptive per-task sizing for the shard QUERY path (guide §2):
+    # the skip planner already knows the decode volume (kept blocks'
+    # summed df after range/candidate pruning), so the decode stage and
+    # the bucket-kernel shuffle are sized to ~this many postings per
+    # task instead of inheriting corpus-scale partition defaults — a
+    # 3-term query over a 5k-doc index runs 1-2 tasks per stage, a hot
+    # query over 10^9-posting lists fans out to thousands, from the same
+    # rule. Matches block_target_postings' order of magnitude.
+    query_target_postings_per_task: int = 65536
 
     # stemming on/off (oracle SQL path runs unstemmed)
     stem: bool = True

@@ -55,9 +55,11 @@ def _query_terms_df(spark: SparkSession, terms: list[str]):
     matching the reference's per-occurrence accumulation)."""
     from collections import Counter
 
+    from ..functions.smalldf import tiny_df
+
     counts = Counter(terms)
-    return spark.createDataFrame(
-        [(t, int(c)) for t, c in counts.items()], "term string, qtf int"
+    return tiny_df(
+        spark, [(t, int(c)) for t, c in counts.items()], "term string, qtf int"
     )
 
 
@@ -281,7 +283,10 @@ def _blend_and_topk(
         # doc_meta has a row for every indexed doc (build_doc_meta
         # left-joins top_words onto the full corpus).
         topk = F.broadcast(topk).join(doc_meta, "doc_id")
-        topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        # re-limit after the inner join: a no-op on the <=k rows, but it
+        # plans TakeOrderedAndProject instead of a full range-partitioned
+        # sort (which pays an extra sampling pass per query)
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return topk
 
 
@@ -420,4 +425,5 @@ def search_from_shards(
     )
     if doc_meta is not None:
         out = F.broadcast(out).join(doc_meta, "doc_id")
-    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+    # limit(k): no-op on <=k rows, plans TakeOrderedAndProject
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -88,8 +88,10 @@ def phrase_matches_from_hits(
     """Shared tail: ``hits`` carries (term, field, doc_id, positions,
     contrib) for the phrase terms."""
     n = len(phrase)
-    qdf = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(phrase)], "term_idx int, term string"
+    from ..functions.smalldf import tiny_df
+
+    qdf = tiny_df(
+        spark, [(i, t) for i, t in enumerate(phrase)], "term_idx int, term string"
     )
 
     adj = hits.join(F.broadcast(qdf), "term").select(

@@ -158,7 +158,10 @@ def wand_topk(
             "pagerank double, score double"
         )
     counts = Counter(query_terms)
-    qdf = spark.createDataFrame(
+    from ..functions.smalldf import tiny_df
+
+    qdf = tiny_df(
+        spark,
         [(t, i, float(c)) for i, (t, c) in enumerate(sorted(counts.items()))],
         "term string, qterm_id int, qtf double",
     )
@@ -178,9 +181,14 @@ def _wand_from_hits(
     n_buckets: int,
     pagerank: DataFrame | None,
     kernel="taat",
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """Shared tail of the WAND paths: ``hits`` must carry
-    (doc_id, field, qterm_id, qtf, contrib)."""
+    (doc_id, field, qterm_id, qtf, contrib). ``shuffle_parts`` (shard
+    path) sizes the bucket-kernel exchange from the planner-known decode
+    volume — an explicit repartition by doc_bucket that the groupBy
+    reuses (one exchange, exact task count) instead of the session-wide
+    shuffle-partition default."""
     # blended per-posting impact: field weight folded in, so the WAND
     # kernel maximizes the FINAL blended score directly
     fw = (
@@ -241,6 +249,12 @@ def _wand_from_hits(
     bucketed = per_doc_term.withColumn(
         "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
+    if shuffle_parts is not None:
+        # explicit partition count (clamped to n_buckets by the caller):
+        # hash-partitioning on the grouping key with a known count, so
+        # the groupBy below adds NO second exchange and AQE has nothing
+        # to coalesce — the kernel stage runs exactly this many tasks
+        bucketed = bucketed.repartition(shuffle_parts, "doc_bucket")
     long_keys = dict(hits.dtypes).get("doc_id") == "bigint"
     if callable(kernel):
         # parity-test injection point; reference kernels tie-break on
@@ -703,6 +717,7 @@ def wand_topk_from_shards(
 
     meta = None
     cand_keys = None
+    q_parts = None
     if "top_weights" in pruned.columns:
         # block-max skipping BEFORE decode: read ONLY the block metadata
         # columns (parquet column pruning — the varbyte payloads stay on
@@ -809,8 +824,12 @@ def wand_topk_from_shards(
             sample_keys = sorted(
                 {dk for r in meta for dk in (r["top_doc_keys"] or [])}
             )
-            qdf1 = spark.createDataFrame(
-                [(t, qtf_map[t]) for t in term_list], "term string, qtf double"
+            from ..functions.smalldf import tiny_df as _tiny
+
+            qdf1 = _tiny(
+                spark,
+                [(t, qtf_map[t]) for t in term_list],
+                "term string, qtf double",
             )
             fw1 = (
                 F.when(F.col("field") == FIELD_TITLE, F.lit(cfg.w_title))
@@ -882,6 +901,21 @@ def wand_topk_from_shards(
                     "\x01", "term", "field", F.col("salt").cast("string")
                 ).isin(keep_keys)
             )
+        # scale-adaptive task sizing (guide §2.2): the planner knows the
+        # decode volume, so size the decode stage and the bucket-kernel
+        # shuffle from it — tiny queries collapse to 1-2 tasks per stage
+        # (per-task scheduling + Python round-trips dominate them), hot
+        # queries over long posting lists fan out, from the same rule.
+        vol = rng_df
+        if cand_keys is not None:
+            n_groups = len({(r["term"], r["field"]) for r in meta})
+            vol = min(vol, len(cand_keys) * max(n_groups, 1))
+        target = max(int(cfg.query_target_postings_per_task), 1)
+        q_parts = max(1, min(-(-vol // target), n_buckets))
+        # coalesce is narrow (no shuffle) and only ever shrinks: kept
+        # blocks spread over scan partitions merge into ~q_parts decode
+        # tasks instead of one near-empty Python task per partition
+        pruned = pruned.coalesce(int(q_parts))
 
     # term-bag scoring needs ONLY the precomputed impact weights: skip
     # the tf/positions varbyte decode and their Arrow transfer entirely;
@@ -894,7 +928,10 @@ def wand_topk_from_shards(
         pruned, fields=("weight",), doc_keys=cand_keys,
         key_ranges=(keep_ranges or None) if meta is not None else None,
     )
-    qdf = spark.createDataFrame(
+    from ..functions.smalldf import tiny_df
+
+    qdf = tiny_df(
+        spark,
         [(t, i, float(counts[t])) for i, t in enumerate(term_list)],
         "term string, qterm_id int, qtf double",
     )
@@ -929,12 +966,17 @@ def wand_topk_from_shards(
                 F.col("doc_key").alias("doc_id"), "rank"
             )
         ranked = _wand_from_hits(
-            spark, hits, len(counts), cfg, k, n_buckets, pr_keyed, kernel
+            spark, hits, len(counts), cfg, k, n_buckets, pr_keyed, kernel,
+            shuffle_parts=q_parts,
         ).withColumnRenamed("doc_id", "doc_key")
         return (
             doc_map.join(F.broadcast(ranked), "doc_key")
             .select("doc_id", "title_rank", "body_rank", "pagerank", "score")
+            # limit(k) is a no-op on the <=k joined rows but turns the
+            # final global sort into TakeOrderedAndProject (no range-
+            # partitioning sampling pass)
             .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
     hits = (
         decoded.join(F.broadcast(qdf), "term")
@@ -945,7 +987,8 @@ def wand_topk_from_shards(
         )
     )
     return _wand_from_hits(
-        spark, hits, len(counts), cfg, k, n_buckets, pagerank, kernel
+        spark, hits, len(counts), cfg, k, n_buckets, pagerank, kernel,
+        shuffle_parts=q_parts,
     )
 
 
