@@ -109,6 +109,21 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return values.astype(np.int64)
 
 
+def vb_nbytes(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (7-bit groups) — lets a batch-level
+    vb_encode over concatenated blocks be split back into per-block byte
+    ranges without re-encoding."""
+    v = np.asarray(values, dtype=np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    bound = np.uint64(1 << 7)
+    for _ in range(9):
+        nb += v >= bound
+        if bound >= np.uint64(1 << 57):
+            break
+        bound = bound << np.uint64(7)
+    return nb
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     d = np.diff(np.asarray(sorted_vals, dtype=np.int64), prepend=0)
     return d
@@ -192,61 +207,157 @@ def _encode_blocks(batch_iter):
     """
     cols = [f.name for f in SHARD_SCHEMA.fields]
     for pdf in batch_iter:
-        out = []
-        for row in pdf.itertuples(index=False):
-            keys = np.asarray(row.doc_keys, dtype=np.int64)
-            n = len(keys)
-            order = np.argsort(keys, kind="stable")
-            keys = keys[order]
-            tfs = np.asarray(row.tfs_arr, dtype=np.int64)[order]
-            weights = np.asarray(row.weights_arr, dtype=np.float64)[order]
-            pos_lists = np.asarray(row.pos_arr, dtype=object)[order]
-            pos_lens = np.fromiter(
-                (len(p) for p in pos_lists), dtype=np.int64, count=n
-            )
-            if pos_lens.sum():
-                flat = np.concatenate(
-                    [np.asarray(p, dtype=np.int64) for p in pos_lists if len(p)]
+        nb = len(pdf)
+        if nb == 0:
+            yield pd.DataFrame({c: [] for c in cols})
+            continue
+        # ---- batch-level assembly (round 6): the former per-block loop
+        # paid ~0.4 ms of fixed numpy-call + row-tuple overhead per
+        # block regardless of block size — at 72k blocks that dwarfed
+        # the actual codec work. All sorting/encoding now runs ONCE over
+        # the concatenated batch; per-block work is reduced to cheap
+        # slice bookkeeping. Encoded bytes are identical (varbyte is
+        # per-value; block boundaries are respected via reduceat /
+        # explicit delta restarts at block starts).
+        key_cells = [np.asarray(x, dtype=np.int64) for x in pdf["doc_keys"]]
+        lens = np.fromiter((len(x) for x in key_cells), dtype=np.int64, count=nb)
+        total = int(lens.sum())
+        starts = np.cumsum(lens) - lens
+        keys = np.concatenate(key_cells)
+        tfs = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["tfs_arr"]]
+        )
+        weights = np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in pdf["weights_arr"]]
+        )
+        block_ids = np.repeat(np.arange(nb, dtype=np.int64), lens)
+        # per-block stable key sort in one global lexsort
+        order = np.lexsort((keys, block_ids))
+        keys = keys[order]
+        tfs = tfs[order]
+        weights = weights[order]
+        # positions: reorder each block's per-posting lists by its slice
+        # of the global permutation, then flatten once
+        pos_lens = np.empty(total, dtype=np.int64)
+        flat_parts = []
+        for b, cell in enumerate(pdf["pos_arr"]):
+            n = int(lens[b])
+            s = int(starts[b])
+            local = order[s:s + n] - s
+            cell = np.asarray(cell, dtype=object)[local]
+            pl = np.fromiter((len(p) for p in cell), dtype=np.int64, count=n)
+            pos_lens[s:s + n] = pl
+            if pl.sum():
+                flat_parts.append(
+                    np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in cell if len(p)]
+                    )
                 )
-                deltas = np.diff(flat, prepend=0)
-                starts = np.cumsum(pos_lens) - pos_lens
-                nz = starts[pos_lens > 0]
-                deltas[nz] = flat[nz]
-            else:
-                deltas = np.zeros(0, dtype=np.int64)
-            top = np.argsort(-weights, kind="stable")[:BLOCK_SAMPLE_N]
-            # equi-depth doc-range sub-maxima (keys already sorted)
-            n_sub = int(min(RANGE_SUB_N, n))
-            sub_starts = (np.arange(n_sub) * n) // n_sub
-            rng_maxw = (
-                np.maximum.reduceat(weights, sub_starts)
-                if n
-                else np.zeros(0)
+        flat = (
+            np.concatenate(flat_parts)
+            if flat_parts
+            else np.zeros(0, dtype=np.int64)
+        )
+        # position deltas restart at every posting start (block starts
+        # are posting starts, so block boundaries restart too)
+        deltas = np.diff(flat, prepend=0)
+        p_starts = np.cumsum(pos_lens) - pos_lens
+        nz = p_starts[pos_lens > 0]
+        deltas[nz] = flat[nz]
+        # doc-key deltas restart at block starts
+        kd = np.diff(keys, prepend=0)
+        kd[starts] = keys[starts]
+        # one vb_encode per stream over the whole batch; per-block byte
+        # ranges from the per-value byte counts
+        key_bytes = vb_encode(kd)
+        key_cuts = np.concatenate(
+            ([0], np.cumsum(np.add.reduceat(vb_nbytes(kd), starts)))
+        )
+        tf_bytes = vb_encode(tfs)
+        tf_cuts = np.concatenate(
+            ([0], np.cumsum(np.add.reduceat(vb_nbytes(tfs), starts)))
+        )
+        w_bytes = weights.astype(">f8").tobytes()
+        pl_bytes = vb_encode(pos_lens)
+        pl_cuts = np.concatenate(
+            ([0], np.cumsum(np.add.reduceat(vb_nbytes(pos_lens), starts)))
+        )
+        # per-block position-VALUE counts -> value-index block starts
+        pv_counts = np.add.reduceat(pos_lens, starts)
+        pv_starts = np.cumsum(pv_counts) - pv_counts
+        pos_bytes = vb_encode(deltas)
+        if len(deltas):
+            d_nb = np.cumsum(vb_nbytes(deltas))
+            # byte offset where each block's positions begin/end
+            pos_cuts = np.concatenate(
+                ([0], np.where(pv_counts > 0, d_nb[
+                    np.minimum(pv_starts + pv_counts, len(deltas)) - 1
+                ], 0))
             )
-            rng_bounds = (
-                np.concatenate([keys[sub_starts], keys[-1:]])
-                if n
-                else np.zeros(0, dtype=np.int64)
-            )
-            out.append(
-                (
-                    row.term,
-                    row.field,
-                    int(row.shard),
-                    int(row.salt),
-                    int(n),
-                    float(weights.max()) if n else 0.0,
-                    [int(keys[i]) for i in top],
-                    [float(weights[i]) for i in top],
-                    [int(x) for x in rng_bounds],
-                    [float(x) for x in rng_maxw],
-                    vb_encode(delta_encode(keys)),
-                    vb_encode(tfs),
-                    weights.astype(">f8").tobytes(),
-                    vb_encode(deltas),
-                    vb_encode(pos_lens),
-                )
-            )
+            # blocks with zero positions inherit the previous cumulative
+            # cut so their slice is empty
+            pos_ends = np.maximum.accumulate(pos_cuts)
+        else:
+            pos_ends = np.zeros(nb + 1, dtype=np.int64)
+        # per-block max weight
+        blk_max = np.maximum.reduceat(weights, starts)
+        # per-block top-N sample: one stable global sort by (block, -w)
+        order2 = np.lexsort((np.negative(weights), block_ids))
+        # equi-depth sub-range starts for every block, concatenated
+        n_subs = np.minimum(lens, RANGE_SUB_N).astype(np.int64)
+        sub_local = np.concatenate(
+            [(np.arange(int(m)) * int(n)) // int(m)
+             for m, n in zip(n_subs, lens)]
+        )
+        sub_global = sub_local + np.repeat(starts, n_subs)
+        rng_maxw_all = np.maximum.reduceat(weights, sub_global)
+        sub_cuts = np.cumsum(n_subs) - n_subs
+        out = {
+            "term": pdf["term"].to_numpy(),
+            "field": pdf["field"].to_numpy(),
+            "shard": pdf["shard"].astype("int32").to_numpy(),
+            "salt": pdf["salt"].astype("int32").to_numpy(),
+            "df": lens,
+            "max_weight": blk_max,
+        }
+        tdk = np.empty(nb, dtype=object)
+        tw = np.empty(nb, dtype=object)
+        rb = np.empty(nb, dtype=object)
+        rm = np.empty(nb, dtype=object)
+        dib = np.empty(nb, dtype=object)
+        tfb = np.empty(nb, dtype=object)
+        wb = np.empty(nb, dtype=object)
+        pb = np.empty(nb, dtype=object)
+        plb = np.empty(nb, dtype=object)
+        kmv = memoryview(key_bytes)
+        tmv = memoryview(tf_bytes)
+        wmv = memoryview(w_bytes)
+        pmv = memoryview(pos_bytes)
+        plmv = memoryview(pl_bytes)
+        for b in range(nb):
+            s = int(starts[b])
+            n = int(lens[b])
+            sel = order2[s:s + min(BLOCK_SAMPLE_N, n)]
+            tdk[b] = keys[sel].tolist()
+            tw[b] = weights[sel].tolist()
+            ss = int(sub_cuts[b])
+            m = int(n_subs[b])
+            rb[b] = keys[sub_global[ss:ss + m]].tolist() + [int(keys[s + n - 1])]
+            rm[b] = rng_maxw_all[ss:ss + m].tolist()
+            dib[b] = bytes(kmv[key_cuts[b]:key_cuts[b + 1]])
+            tfb[b] = bytes(tmv[tf_cuts[b]:tf_cuts[b + 1]])
+            wb[b] = bytes(wmv[8 * s:8 * (s + n)])
+            pb[b] = bytes(pmv[pos_ends[b]:pos_ends[b + 1]])
+            plb[b] = bytes(plmv[pl_cuts[b]:pl_cuts[b + 1]])
+        out["top_doc_keys"] = tdk
+        out["top_weights"] = tw
+        out["range_bounds"] = rb
+        out["range_maxw"] = rm
+        out["doc_ids"] = dib
+        out["tfs"] = tfb
+        out["weights"] = wb
+        out["positions"] = pb
+        out["pos_lens"] = plb
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -476,89 +587,115 @@ def decode_shards(
     )
 
     def _decode(batch_iter):
+        # batch-level decode (round 6): the former per-block loop paid
+        # fixed numpy/pandas overhead per block (vb_decode calls, tiny
+        # DataFrames, a pd.concat over thousands of frames). Varbyte is
+        # self-delimiting, so ALL blocks' streams decode in ONE pass
+        # over the concatenated buffers; per-block boundaries come from
+        # cumulative terminator counts at buffer edges.
         for pdf in batch_iter:
-            parts = []
-            # per-BLOCK loop only (a batch holds a handful of block rows);
-            # everything per-POSTING below is numpy — no Python iteration
-            # over decoded postings (the round-3 hot-path residual).
-            for row in pdf.itertuples(index=False):
-                keys = delta_decode(vb_decode(row.doc_ids))
-                n0 = len(keys)
-                mask = None
-                if key_ranges is not None:
-                    sel = key_ranges.get(
-                        (row.term, row.field, int(row.salt))
-                    )
-                    if sel is not None:
-                        # (n_sub, kept chunk indices): n_sub comes from
-                        # the planner's metadata row (len(range_maxw)),
-                        # i.e. the chunk count this block was ENCODED
-                        # with — never recomputed from a module constant
-                        # that may differ between build and serve
-                        n_sub, kept_idx = int(sel[0]), sel[1]
-                        edges = (
-                            np.arange(n_sub + 1, dtype=np.int64) * n0
-                        ) // n_sub
-                        mask = np.zeros(n0, dtype=bool)
-                        for i in kept_idx:
-                            if i < n_sub:
-                                mask[edges[i]:edges[i + 1]] = True
-                if cand is not None:
-                    cm = np.isin(keys, cand, assume_unique=True)
-                    mask = cm if mask is None else (mask & cm)
-                if mask is not None:
-                    if mask.all():
-                        mask = None
-                    else:
-                        keys = keys[mask]
-                n = len(keys)
-                if n == 0:
-                    continue
-                block = {
-                    "term": np.repeat(np.array([row.term], dtype=object), n),
-                    "field": np.repeat(np.array([row.field], dtype=object), n),
-                    "doc_key": keys,
-                }
-                if want_tf:
-                    tfs = vb_decode(row.tfs).astype(np.int32)
-                    block["tf"] = tfs if mask is None else tfs[mask]
-                if want_w:
-                    ws = np.frombuffer(row.weights, dtype=">f8").astype(
-                        np.float64
-                    )
-                    block["weight"] = ws if mask is None else ws[mask]
-                if want_pos:
-                    pos_lens = vb_decode(row.pos_lens)
-                    flat = vb_decode(row.positions)
-                    # restart the delta-cumsum at each doc boundary without
-                    # a per-doc loop: global cumsum, then subtract the
-                    # running total at each doc's start (g[start-1])
-                    ends = np.cumsum(pos_lens)
-                    if flat.size:
-                        g = np.cumsum(flat)
-                        starts = ends - pos_lens
-                        base = np.repeat(
-                            np.where(starts > 0, g[np.maximum(starts, 1) - 1], 0),
-                            pos_lens,
-                        )
-                        abs_pos = (g - base).astype(np.int32)
-                    else:
-                        abs_pos = np.zeros(0, dtype=np.int32)
-                    # one array view per DOC (not per posting); Arrow
-                    # converts ndarray cells to list<int> natively
-                    per_doc = np.split(abs_pos, ends[:-1])
-                    if mask is not None:
-                        per_doc = [p for p, m in zip(per_doc, mask) if m]
-                    block["positions"] = pd.Series(per_doc, dtype=object)
-                for c in extra:
-                    block[c] = np.repeat(
-                        np.array([getattr(row, c)], dtype=object), n
-                    )
-                parts.append(pd.DataFrame(block, columns=out_cols))
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
-            else:
+            nb = len(pdf)
+            if nb == 0:
                 yield pd.DataFrame({c: [] for c in out_cols})
+                continue
+            bufs = pdf["doc_ids"].tolist()
+            blens = np.fromiter((len(b) for b in bufs), np.int64, count=nb)
+            joined = b"".join(bufs)
+            big = np.frombuffer(joined, dtype=np.uint8)
+            tc = np.cumsum((big & 0x80) != 0)
+            b_ends = np.cumsum(blens)
+            counts = np.diff(
+                np.concatenate(
+                    ([0], np.where(b_ends > 0, tc[b_ends - 1], 0))
+                )
+            )
+            total = int(counts.sum())
+            deltas = vb_decode(joined)
+            # within-block cumsum: global cumsum minus the running total
+            # at each block's first value
+            g = np.cumsum(deltas)
+            v_starts = np.cumsum(counts) - counts
+            base = np.repeat(
+                np.where(v_starts > 0, g[np.maximum(v_starts, 1) - 1], 0),
+                counts,
+            )
+            keys = (g - base).astype(np.int64)
+            mask = None
+            if key_ranges is not None:
+                terms_a = pdf["term"].tolist()
+                fields_a = pdf["field"].tolist()
+                salts_a = pdf["salt"].tolist()
+                for b in range(nb):
+                    sel = key_ranges.get(
+                        (terms_a[b], fields_a[b], int(salts_a[b]))
+                    )
+                    if sel is None:
+                        continue
+                    n_sub, kept_idx = int(sel[0]), sel[1]
+                    n0 = int(counts[b])
+                    s = int(v_starts[b])
+                    edges = (
+                        np.arange(n_sub + 1, dtype=np.int64) * n0
+                    ) // n_sub
+                    if mask is None:
+                        mask = np.ones(total, dtype=bool)
+                    mask[s:s + n0] = False
+                    for i in kept_idx:
+                        if i < n_sub:
+                            mask[s + edges[i]:s + edges[i + 1]] = True
+            if cand is not None:
+                # keys are unique per block but not across blocks, so no
+                # assume_unique on the haystack side of a GLOBAL isin
+                cm = np.isin(keys, cand)
+                mask = cm if mask is None else (mask & cm)
+            if mask is not None and bool(mask.all()):
+                mask = None
+            n_out = total if mask is None else int(mask.sum())
+            if n_out == 0:
+                yield pd.DataFrame({c: [] for c in out_cols})
+                continue
+            block = {
+                "term": np.repeat(
+                    pdf["term"].to_numpy(dtype=object), counts
+                ),
+                "field": np.repeat(
+                    pdf["field"].to_numpy(dtype=object), counts
+                ),
+                "doc_key": keys,
+            }
+            if want_tf:
+                block["tf"] = vb_decode(b"".join(pdf["tfs"])).astype(np.int32)
+            if want_w:
+                block["weight"] = np.frombuffer(
+                    b"".join(pdf["weights"]), dtype=">f8"
+                ).astype(np.float64)
+            if want_pos:
+                pos_lens = vb_decode(b"".join(pdf["pos_lens"]))
+                flat = vb_decode(b"".join(pdf["positions"]))
+                ends = np.cumsum(pos_lens)
+                if flat.size:
+                    g2 = np.cumsum(flat)
+                    starts = ends - pos_lens
+                    pbase = np.repeat(
+                        np.where(starts > 0, g2[np.maximum(starts, 1) - 1], 0),
+                        pos_lens,
+                    )
+                    abs_pos = (g2 - pbase).astype(np.int32)
+                else:
+                    abs_pos = np.zeros(0, dtype=np.int32)
+                # one array view per posting; Arrow converts ndarray
+                # cells to list<int> natively
+                per_doc = np.split(abs_pos, ends[:-1])
+                if mask is not None:
+                    per_doc = [p for p, m in zip(per_doc, mask) if m]
+                block["positions"] = pd.Series(per_doc, dtype=object)
+            for c in extra:
+                block[c] = np.repeat(pdf[c].to_numpy(dtype=object), counts)
+            if mask is not None:
+                for c in list(block):
+                    if c != "positions":
+                        block[c] = block[c][mask]
+            yield pd.DataFrame(block, columns=out_cols)
 
     # only the REQUESTED payload columns cross Arrow — block metadata
     # (salt, max_weight, the per-block top-N samples) is planner-side,
@@ -703,40 +840,34 @@ def merge_posting_shards(
     untouched = base.join(touched, ["term", "field"], "left_anti")
     touched_base = base.join(touched, ["term", "field"], "left_semi")
 
-    # single decode stage over both sides (src tag rides the decode),
-    # then ONE aggregation does the upsert: delta (src=1) wins on
-    # (term, field, doc_key); group size <= 2
-    sides = touched_base.withColumn("src", F.lit(0)).unionByName(
-        delta.withColumn("src", F.lit(1))
-    )
-    rows = decode_shards(sides, passthrough=("src",))
-    merged = rows.groupBy("term", "field", "doc_key").agg(
-        F.max_by(F.struct("tf", "weight", "positions"), F.col("src")).alias("p"),
-        F.max("src").alias("max_src"),
-    )
+    # upsert as an ANTI-JOIN instead of a groupBy(term, field, doc_key)
+    # + max_by over the full decoded volume (round 6): each side holds
+    # at most one posting per (term, field, doc_key) — the documented
+    # caller contract — so "delta wins" is exactly "drop base rows whose
+    # key appears in the delta (or in the tombstones), then union the
+    # delta rows". The delta's key set is delta-sized, so Spark plans a
+    # broadcast anti-join and the TOUCHED BASE ROWS ARE NEVER SHUFFLED
+    # (the old aggregation shuffled every decoded posting, positions
+    # arrays included); a delta too big to broadcast degrades to the
+    # same shuffle the aggregation always paid. Tombstone semantics
+    # unchanged: a tombstoned base row dies, a delta row re-adding the
+    # same key supersedes its own tombstone (it is not in drop_keys'
+    # base-side application).
+    base_rows = decode_shards(touched_base)
+    delta_rows = decode_shards(delta)
+    drop_keys = delta_rows.select("term", "field", "doc_key")
     if delete_postings is not None:
-        # tombstones kill rows whose LATEST version is the base's
-        # (max_src=0) — a delta re-adding the same (term, field,
-        # doc_key) supersedes its own tombstone
-        merged = (
-            merged.join(
-                delete_postings.select("term", "field", "doc_key")
-                .distinct()
-                .withColumn("tomb", F.lit(True)),
-                ["term", "field", "doc_key"],
-                "left",
-            )
-            .filter(
-                ~(F.coalesce("tomb", F.lit(False)) & (F.col("max_src") == 0))
-            )
-            .drop("tomb")
+        drop_keys = drop_keys.unionByName(
+            delete_postings.select("term", "field", "doc_key")
         )
-    merged = merged.select(
-        "term", "field", "doc_key",
-        F.col("p.tf").alias("tf"),
-        F.col("p.weight").alias("weight"),
-        F.col("p.positions").alias("positions"),
+    merged = base_rows.join(
+        drop_keys.distinct(), ["term", "field", "doc_key"], "left_anti"
+    ).unionByName(
+        delta_rows.select(
+            "term", "field", "doc_key", "tf", "weight", "positions"
+        )
     )
+    merged = merged.select("term", "field", "doc_key", "tf", "weight", "positions")
     # the re-encode references its input twice (salt-stats pass + keyed
     # encode); without a materialization barrier the whole decode+upsert
     # pipeline above would run twice per action. Lazy localCheckpoint
