@@ -94,7 +94,9 @@ def connected_components(
                 ).alias("changed"),
             )
         )
-        updated = updated.localCheckpoint()
+        # lazy checkpoint: the count below materializes it — one job per
+        # round instead of checkpoint + count each recomputing the joins
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
@@ -181,7 +183,8 @@ def connected_components_star(
     converged = False
     for it in range(max_iters):
         edges = _star_round(edges, small=False)
-        edges = _star_round(edges, small=True).localCheckpoint()
+        # lazy: the signature aggregate below materializes the round
+        edges = _star_round(edges, small=True).localCheckpoint(eager=False)
         row = edges.select(F.xxhash64("a", "b").alias("h")).agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(h)").alias("h"),  # order-insensitive, no overflow

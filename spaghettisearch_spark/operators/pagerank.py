@@ -140,6 +140,15 @@ def compute_pagerank(
             raw = raw.join(
                 prev.withColumnRenamed("rank", "prevr"), "doc_id", "left"
             )
+        # LAZY checkpoint of the un-normalized frame, materialized by the
+        # convergence/total aggregate below — ONE job per iteration where
+        # the eager-checkpoint shape paid two (the aggregate AND the
+        # checkpoint each recomputed the iteration's joins). new_ranks
+        # then normalizes off the checkpointed partitions, so the join
+        # pipeline runs exactly once per iteration.
+        if (it + 1) % cfg.pr_checkpoint_every == 0 or it == max_iters - 1:
+            raw = raw.localCheckpoint(eager=False)
+        if prev is not None:
             agg = raw.agg(
                 F.sum("raw_rank").alias("t"),
                 F.sum(F.abs(F.col("cur") - F.coalesce("prevr", F.lit(0.0)))).alias(
@@ -154,8 +163,6 @@ def compute_pagerank(
         new_ranks = raw.select(
             "doc_id", (F.col("raw_rank") / F.lit(total)).alias("rank")
         )
-        if (it + 1) % cfg.pr_checkpoint_every == 0 or it == max_iters - 1:
-            new_ranks = new_ranks.localCheckpoint()
         prev, ranks = ranks, new_ranks
 
     nodes.unpersist()
