@@ -166,7 +166,7 @@ def main():
             out["engine_qps"] = round(16 / out["engine_serve_conc16_t4"], 2)
             _sh.rmtree(shard_dir, ignore_errors=True)
 
-    if which in ("build", "merge", "all"):
+    if which in ("build", "merge", "all") and zl_docs > 0:
         from spaghettisearch_spark.fixtures import make_zipf_documents
 
         zcfg = EngineConfig(stem=False)
