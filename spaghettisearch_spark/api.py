@@ -382,6 +382,46 @@ class SearchEngine:
         from .operators.compression import merge_posting_shards
 
         self._require_warehouse()
+        # EXACT per-block maximum doc_key: range_bounds[-1] is the last
+        # (largest) key of the key-sorted block. top_doc_keys alone is
+        # NOT a max-key witness — it samples the top-32 postings BY
+        # WEIGHT, so a >32-posting block can reference keys beyond the
+        # dimension whose weights fall below every sampled one, and the
+        # guard would silently pass while those ranked rows vanish at
+        # the dense-key hydration join. Fall back to the sample only for
+        # pre-range-metadata frames (best effort, as before).
+        if "range_bounds" in delta.columns:
+            key_max = F.coalesce(
+                F.element_at("range_bounds", -1),
+                F.array_max("top_doc_keys"),
+            )
+        else:
+            key_max = F.array_max("top_doc_keys")
+        mx = delta.agg(F.max(key_max).alias("m")).first()["m"]
+        if new_doc_map is not None:
+            # accept either (doc_key, doc_id) or extend_doc_dim's FULL
+            # (doc_id, doc_idx) dim — only rows past the current
+            # dimension are appended, so passing the whole extended dim
+            # never duplicates existing mappings
+            if "doc_idx" in new_doc_map.columns:
+                new_doc_map = new_doc_map.select(
+                    F.col("doc_idx").alias("doc_key"), "doc_id"
+                )
+            new_doc_map = new_doc_map.filter(F.col("doc_key") >= self.n_docs)
+            n_new = new_doc_map.count()
+        else:
+            n_new = 0
+        # dimension check BEFORE any engine-state mutation: a rejected
+        # merge must leave doc_map/doc_meta/corpus untouched (previously
+        # the doc_map parquet was durably appended and the card surface
+        # extended before this could raise)
+        if mx is not None and int(mx) >= self.n_docs + n_new:
+            raise ValueError(
+                f"delta references doc_key {int(mx)} beyond the warehouse "
+                f"dimension (n_docs={self.n_docs + n_new}) — pass the new "
+                "docs' dimension rows via new_doc_map= (extend_doc_dim), or "
+                "the ranked rows would silently vanish at hydration"
+            )
         if new_corpus is not None:
             from .operators.index_build import build_doc_meta, tokenize_fields
 
@@ -397,33 +437,13 @@ class SearchEngine:
                 self.corpus = self.corpus.unionByName(
                     nc.select(*self.corpus.columns)
                 ).localCheckpoint(eager=False)
-        mx = delta.agg(
-            F.max(F.array_max("top_doc_keys")).alias("m")
-        ).first()["m"]
         if new_doc_map is not None:
-            # accept either (doc_key, doc_id) or extend_doc_dim's FULL
-            # (doc_id, doc_idx) dim — only rows past the current
-            # dimension are appended, so passing the whole extended dim
-            # never duplicates existing mappings
-            if "doc_idx" in new_doc_map.columns:
-                new_doc_map = new_doc_map.select(
-                    F.col("doc_idx").alias("doc_key"), "doc_id"
-                )
-            fresh_rows = new_doc_map.filter(F.col("doc_key") >= self.n_docs)
             map_path = f"{self.warehouse_dir}/doc_map"
-            n_new = fresh_rows.count()
-            fresh_rows.select("doc_key", "doc_id").write.mode(
+            new_doc_map.select("doc_key", "doc_id").write.mode(
                 "append"
             ).parquet(map_path)
             self.doc_map = self.spark.read.parquet(map_path)
             self.n_docs += n_new
-        if mx is not None and int(mx) >= self.n_docs:
-            raise ValueError(
-                f"delta references doc_key {int(mx)} beyond the warehouse "
-                f"dimension (n_docs={self.n_docs}) — pass the new docs' "
-                "dimension rows via new_doc_map= (extend_doc_dim), or the "
-                "ranked rows would silently vanish at hydration"
-            )
         # expected touched partitions, same derivation the merge uses —
         # so an emptied partition is still rewritten (see
         # _overwrite_touched)

@@ -429,6 +429,10 @@ class _BitReader:
         # the declared restart interval disagree
         self.n = 0
         self.acc = 0
+        if self.pos + 2 > len(self.d):
+            # a stream truncated exactly at a restart boundary must hit
+            # the codec wrappers' ValueError contract, not IndexError
+            raise ValueError("truncated JPEG entropy stream")
         if self.d[self.pos] != 0xFF or not (
             0xD0 <= self.d[self.pos + 1] <= 0xD7
         ):

@@ -390,10 +390,12 @@ def plan_blocks(
       below), the sorted doc_key list that provably contains every
       top-k doc — the caller may then restrict the varbyte decode to
       those keys; None otherwise.
-    - ``keep_ranges``: {(term, field, salt) -> kept equi-depth chunk
-      indices} for kept blocks whose decode can drop at least one
-      sub-range (see the range-pruning note at the keep loop); blocks
-      absent from the dict decode whole.
+    - ``keep_ranges``: {(term, field, salt) -> (n_sub, kept chunk
+      indices)} for kept blocks whose decode can drop at least one
+      sub-range — ``n_sub`` is the chunk count the block was ENCODED
+      with (len of its range_maxw), which the decode needs to map the
+      positional indices exactly (see the range-pruning note at the
+      keep loop); blocks absent from the dict decode whole.
 
     Threshold: each block's top-N (doc_key, weight) sample yields partial
     blended scores per doc (a lower bound of the doc's full score, since
@@ -531,7 +533,7 @@ def plan_blocks(
     # and cannot displace anyone. keep_ranges[(term, field, salt)] lists
     # the kept equi-depth chunk indices for kept blocks that shed at
     # least one range (absent = decode the whole block).
-    keep_ranges: dict[tuple[str, str, int], list[int]] = {}
+    keep_ranges: dict[tuple[str, str, int], tuple[int, list[int]]] = {}
     # float-noise slack: the wave-1 floor and the sample partials are
     # computed with Spark-side association ((fw*w)*qtf)*bs while the
     # bounds here multiply rm*((fw*qtf)*bs) — a few ULPs apart. A true

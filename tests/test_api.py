@@ -308,3 +308,63 @@ def test_apply_merge_guards_unknown_doc_keys(spark, docs_small, tmp_path):
     got = eng.query_df("zzuniqueterm", use_wand=True, backend="shards").collect()
     assert [r["doc_id"] for r in got] == [new_id]
     assert "zzuniqueterm" in got[0]["snippet"]
+
+
+def test_apply_merge_guard_catches_unsampled_key_and_leaves_state_intact(
+    spark, docs_small, tmp_path
+):
+    """The dimension guard must use the EXACT block max key
+    (range_bounds[-1]), not the weight-sampled top_doc_keys: a block
+    with >BLOCK_SAMPLE_N postings whose out-of-dimension key carries the
+    LOWEST weight is invisible to the sample, and the old guard passed
+    while the ranked row silently vanished at hydration. A rejected
+    merge must also leave the engine unmutated (doc_map parquet not
+    appended, n_docs/doc_meta unchanged)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spaghettisearch_spark.api import SearchEngine
+    from spaghettisearch_spark.operators.compression import (
+        BLOCK_SAMPLE_N,
+        build_posting_shards,
+    )
+
+    eng = SearchEngine.build(
+        spark, spark.createDataFrame(docs_small.head(100)),
+        warehouse_dir=str(tmp_path / "wh"), with_pagerank=False,
+    )
+    n0 = eng.n_docs
+    map_rows0 = eng.doc_map.count()
+    meta_rows0 = eng.index.doc_meta.count()
+    # one cold block, BLOCK_SAMPLE_N + 8 postings; the out-of-dimension
+    # key gets the smallest weight so the top-N weight sample misses it
+    n_post = BLOCK_SAMPLE_N + 8
+    rows = [
+        ("qqguardterm", "body", int(k), 1, [1], 1.0)
+        for k in range(n_post - 1)
+    ] + [("qqguardterm", "body", int(n0 + 50), 1, [1], 0.001)]
+    bad_postings = spark.createDataFrame(
+        rows,
+        "term string, field string, doc_key long, tf int, "
+        "positions array<int>, weight double",
+    )
+    from dataclasses import replace as _replace
+
+    # keep the 40-posting group COLD (single block) so the top-N sample
+    # genuinely truncates it — the regression needs df > BLOCK_SAMPLE_N
+    # within one block
+    cold_cfg = _replace(eng.cfg, salt_df_threshold=1.0)
+    delta = build_posting_shards(
+        bad_postings, n0, cold_cfg
+    ).localCheckpoint(eager=True)
+    # precondition for the regression: the bad key is NOT in the sample
+    samp = delta.select(F.explode("top_doc_keys").alias("k")).agg(
+        F.max("k")
+    ).first()[0]
+    assert samp < n0 + 50, "fixture must keep the bad key out of the sample"
+    with _pytest.raises(ValueError, match="beyond the warehouse dimension"):
+        eng.apply_merge(delta)
+    # rejected merge left the engine untouched
+    assert eng.n_docs == n0
+    assert eng.doc_map.count() == map_rows0
+    assert eng.index.doc_meta.count() == meta_rows0
