@@ -116,9 +116,15 @@ class SearchEngine:
             if warehouse_dir is not None:
                 shards_path = f"{warehouse_dir}/posting_shards"
                 map_path = f"{warehouse_dir}/doc_map"
-                built.write.mode("overwrite").partitionBy("shard").parquet(
-                    shards_path
-                )
+                # cluster by shard before the partitioned write (guide
+                # §6): without this every upstream task writes its own
+                # file into every shard directory (tasks x shards tiny
+                # files); clustered, each directory holds one
+                # well-sized file and a term's pruned scan opens ONE
+                # file instead of dozens
+                built.repartition("shard").write.mode(
+                    "overwrite"
+                ).partitionBy("shard").parquet(shards_path)
                 doc_dim.select(
                     F.col("doc_idx").alias("doc_key"), "doc_id"
                 ).write.mode("overwrite").parquet(map_path)
@@ -221,6 +227,7 @@ class SearchEngine:
                     pagerank=pr, k=k, doc_meta=self._hydration_meta(),
                     skip_key_check=True,  # build() made the pair itself
                     dense_keys=True,  # build() keys by dense doc_idx
+                    meta_cache=self.meta_cache,  # sizes the decode stages
                 )
                 hydrated = True
         elif wandable:
@@ -326,7 +333,10 @@ class SearchEngine:
         # bounded by the touched partitions, never the index
         frame = frame.localCheckpoint(eager=True)
         (
-            frame.write.mode("overwrite")
+            # cluster by shard so each rewritten directory gets one
+            # well-sized file (same §6 note as the initial build write)
+            frame.repartition("shard")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("shard")
             .parquet(shards_path)

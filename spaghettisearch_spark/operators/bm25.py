@@ -301,6 +301,7 @@ def search_from_shards(
     doc_meta: DataFrame | None = None,
     skip_key_check: bool = False,
     dense_keys: bool | None = None,
+    meta_cache: dict | None = None,
 ) -> DataFrame:
     """The FULL query pipeline (free terms + phrases + field blend + PR
     + hydration) served from the COMPRESSED posting shards — the
@@ -327,8 +328,20 @@ def search_from_shards(
     only the weight stream; phrases additionally decode positions.
     ``doc_meta`` (when given) hydrates the top-k exactly like
     ``search(hydrate=True)``.
+
+    ``meta_cache``: same per-term block-metadata cache contract as
+    wand_topk_from_shards — used here only to SIZE the decode stages
+    from the query terms' summed block df (guide §2.2: one decode task
+    per ~query_target_postings_per_task postings instead of one
+    near-empty Python task per scan partition). Results are identical
+    with or without it.
     """
-    from .compression import decode_shards, prune_shards
+    from .compression import (
+        decode_shards,
+        prune_shards,
+        query_decode_parts,
+        term_block_meta,
+    )
     from .phrase import phrase_matches_from_shards
 
     if cfg.scorer != "bm25":
@@ -381,9 +394,13 @@ def search_from_shards(
     parts: list[DataFrame] = []
     if free_terms:
         qdf = _query_terms_df(spark, free_terms)
-        decoded = decode_shards(
-            prune_shards(shards, free_terms, cfg), fields=("weight",)
+        pruned = prune_shards(shards, free_terms, cfg)
+        n_parts = query_decode_parts(
+            term_block_meta(shards, free_terms, cfg, meta_cache), cfg
         )
+        if n_parts is not None:
+            pruned = pruned.coalesce(n_parts)
+        decoded = decode_shards(pruned, fields=("weight",))
         decoded = (
             decoded.withColumnRenamed("doc_key", "doc_id")
             if pre_map is None
@@ -397,7 +414,12 @@ def search_from_shards(
             )
         )
     for phrase in phrase_lists:
-        m = phrase_matches_from_shards(spark, shards, pre_map, phrase, cfg)
+        m = phrase_matches_from_shards(
+            spark, shards, pre_map, phrase, cfg,
+            decode_parts=query_decode_parts(
+                term_block_meta(shards, phrase, cfg, meta_cache), cfg
+            ),
+        )
         parts.append(m.select("doc_id", "field", "contrib"))
     if not parts:
         scored = spark.createDataFrame(

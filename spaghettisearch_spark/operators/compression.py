@@ -715,6 +715,58 @@ def decode_shards(
     return shards.select(*(need + extra)).mapInPandas(_decode, schema)
 
 
+BLOCK_META_COLS = [
+    "term", "field", "salt", "df", "max_weight",
+    "top_doc_keys", "top_weights",
+]
+
+
+def term_block_meta(
+    shards: DataFrame,
+    terms: list[str],
+    cfg: EngineConfig,
+    meta_cache: dict | None = None,
+) -> list | None:
+    """The query terms' block-metadata rows (payload columns never
+    leave parquet), optionally through the caller's per-term cache —
+    the shared serving-node term dictionary (see
+    wand.wand_topk_from_shards's meta_cache contract). Returns None
+    when the shards frame predates block metadata."""
+    if "top_weights" not in shards.columns:
+        return None
+    meta_cols = list(BLOCK_META_COLS)
+    if "range_bounds" in shards.columns:
+        meta_cols += ["range_bounds", "range_maxw"]
+    term_list = sorted(set(terms))
+    if meta_cache is None:
+        return prune_shards(shards, term_list, cfg).select(*meta_cols).collect()
+    missing = [t for t in term_list if t not in meta_cache]
+    if missing:
+        fetched: dict[str, list] = {t: [] for t in missing}
+        for r in (
+            prune_shards(shards, missing, cfg).select(*meta_cols).collect()
+        ):
+            fetched[r["term"]].append(r)
+        meta_cache.update(fetched)
+    return [r for t in term_list for r in meta_cache.get(t, [])]
+
+
+def query_decode_parts(meta: list | None, cfg: EngineConfig) -> int | None:
+    """Scale-adaptive decode-task count from the terms' summed block df
+    (guide §2.2): ~query_target_postings_per_task postings per task —
+    tiny queries run one decode task, hot terms fan out."""
+    if meta is None:
+        return None
+    vol = 0
+    for r in meta:
+        try:
+            vol += int(r["df"] or 0)
+        except (ValueError, KeyError):
+            pass
+    target = max(int(cfg.query_target_postings_per_task), 1)
+    return max(1, -(-vol // target))
+
+
 def prune_shards(shards: DataFrame, terms: list[str], cfg: EngineConfig) -> DataFrame:
     """Restrict a shard frame to the given terms' blocks: term filter
     (parquet In pushdown) + driver-derived shard ids (partition pruning

@@ -55,6 +55,7 @@ def phrase_matches_from_shards(
     doc_map,
     phrase: list[str],
     cfg: EngineConfig,
+    decode_parts: int | None = None,
 ):
     """Phrase matching straight off the compressed shards: pruned scan ->
     varbyte position decode -> offset-adjust -> intersect. ``contrib`` is
@@ -68,6 +69,10 @@ def phrase_matches_from_shards(
     from .compression import decode_shards, prune_shards
 
     pruned = prune_shards(shards, list(set(phrase)), cfg)
+    if decode_parts is not None:
+        # scale-adaptive decode sizing from the caller's block metadata
+        # (coalesce only ever shrinks — no shuffle)
+        pruned = pruned.coalesce(decode_parts)
     # phrase matching needs positions + weights but never tf
     decoded = decode_shards(pruned, fields=("weight", "positions"))
     if doc_map is not None:

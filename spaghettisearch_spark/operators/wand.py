@@ -717,33 +717,18 @@ def wand_topk_from_shards(
     term_list = sorted(counts)
     pruned = prune_shards(shards, term_list, cfg)
 
-    meta = None
     cand_keys = None
     q_parts = None
-    if "top_weights" in pruned.columns:
-        # block-max skipping BEFORE decode: read ONLY the block metadata
-        # columns (parquet column pruning — the varbyte payloads stay on
-        # disk), derive an exact threshold from the per-block top-N
-        # samples, and decode only blocks whose upper bound can beat it.
-        meta_cols = [
-            "term", "field", "salt", "df", "max_weight",
-            "top_doc_keys", "top_weights",
-        ]
-        if "range_bounds" in pruned.columns:
-            # doc-range-aligned sub-maxima (absent on pre-round-5 shard
-            # frames — the planner then degrades to global-maxima bounds)
-            meta_cols += ["range_bounds", "range_maxw"]
-        if meta_cache is None:
-            meta = pruned.select(*meta_cols).collect()
-        else:
-            missing = [t for t in term_list if t not in meta_cache]
-            if missing:
-                m_pruned = prune_shards(shards, missing, cfg)
-                fetched: dict[str, list] = {t: [] for t in missing}
-                for r in m_pruned.select(*meta_cols).collect():
-                    fetched[r["term"]].append(r)
-                meta_cache.update(fetched)
-            meta = [r for t in term_list for r in meta_cache.get(t, [])]
+    # block-max skipping BEFORE decode: read ONLY the block metadata
+    # columns (parquet column pruning — the varbyte payloads stay on
+    # disk), derive an exact threshold from the per-block top-N
+    # samples, and decode only blocks whose upper bound can beat it.
+    # (term_block_meta degrades to None on pre-metadata shard frames —
+    # the planner then decodes everything, as before.)
+    from .compression import term_block_meta
+
+    meta = term_block_meta(shards, term_list, cfg, meta_cache)
+    if meta is not None:
         extra_ub = 0.0
         if pagerank is not None:
             # cache the PR blend maximum alongside the term metadata —
