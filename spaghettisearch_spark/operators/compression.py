@@ -459,6 +459,14 @@ def build_posting_shards(
             .cast("int")
             .alias("sub"),
         )
+        # distinct-quantile-bounds test evaluated ONCE PER GROUP here —
+        # the salt expression below used to re-run size(array_distinct)
+        # on every POSTING row of the join output
+        .withColumn(
+            "quant",
+            F.col("qb").isNotNull()
+            & (F.size(F.array_distinct("qb")) == cfg.n_salts - 1),
+        )
     )
 
     if "doc_key" in postings.columns:
@@ -480,8 +488,7 @@ def build_posting_shards(
             # hot + distinct quantile bounds: impact bucket, doc-hash
             # sub-split within the bucket (sub == 1 -> pure bucket id)
             .when(
-                F.col("qb").isNotNull()
-                & (F.size(F.array_distinct("qb")) == cfg.n_salts - 1),
+                F.coalesce("quant", F.lit(False)),
                 F.size(F.expr("filter(qb, b -> weight > b)")) * F.col("sub")
                 + F.pmod(F.col("doc_key"), F.col("sub")),
             )
@@ -782,25 +789,75 @@ def prune_shards(shards: DataFrame, terms: list[str], cfg: EngineConfig) -> Data
     return pruned
 
 
+def _dense_index(ids: DataFrame, start: int = 0) -> DataFrame:
+    """Contiguous ``doc_idx`` (from ``start``) over an already
+    range-partitioned, within-partition-sorted (doc_id) frame — the
+    zipWithIndex assignment (partition order x row order) without the
+    RDD round-trip: the old ``ids.rdd.map(...).zipWithIndex()`` pickled
+    EVERY doc_id through a row-at-a-time Python lambda and re-created
+    the DataFrame from Python rows (guide §4). Same two jobs (one
+    per-partition count, one assignment), but both Arrow-vectorized.
+    """
+    import pandas as pd
+
+    counts = {
+        int(r["p"]): int(r["n"])
+        for r in ids.select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    offsets = {}
+    acc = start
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+
+    def assign(batch_iter):
+        base = None
+        for pdf in batch_iter:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"doc_id": [], "doc_idx": []})
+                continue
+            if base is None:
+                base = offsets[int(pdf["p"].iloc[0])]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "doc_idx": np.arange(base, base + n, dtype=np.int64),
+                }
+            )
+            base += n
+
+    return ids.select("doc_id", F.spark_partition_id().alias("p")).mapInPandas(
+        assign, "doc_id string, doc_idx long"
+    )
+
+
 def build_doc_dim(corpus: DataFrame) -> DataFrame:
     """(doc_id, doc_idx) — dense, deterministic document index.
 
     Range-partition by doc_id + sort within partitions gives a global
-    order; ``zipWithIndex`` assigns contiguous ids with one extra job to
-    count per-partition offsets (no single-reducer window — this scales
-    to any corpus size, unlike ``row_number() OVER (ORDER BY ...)``).
-    One of the two deliberate RDD uses in the engine (the other is none).
-    """
-    spark = corpus.sparkSession
+    order; contiguous ids are assigned per partition with one extra job
+    to count per-partition offsets (no single-reducer window — this
+    scales to any corpus size, unlike ``row_number() OVER (ORDER BY
+    ...)``). Assignment is identical to the former RDD zipWithIndex,
+    minus its per-row Python boundary (see _dense_index)."""
     n_parts = max(corpus.rdd.getNumPartitions(), 8)
     ids = (
         corpus.select("doc_id")
         .distinct()
         .repartitionByRange(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
+        # the count pass and the assignment pass MUST see the same
+        # partition contents: range partitioning re-samples its bounds
+        # per execution (verified: unpinned, the two passes disagree),
+        # so the checkpoint is correctness-bearing, not an optimization
+        .localCheckpoint(eager=False)
     )
-    rdd = ids.rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(rdd, "doc_id string, doc_idx long")
+    return _dense_index(ids)
 
 
 # ---------------------------------------------------------------------------
@@ -1123,7 +1180,6 @@ def extend_doc_dim(doc_dim: DataFrame, new_corpus: DataFrame) -> DataFrame:
     tie-break (score desc, doc_idx asc) ranks exact score ties by
     segment age first. The periodic full rebuild re-derives a globally
     sorted dim and restores string-order ties."""
-    spark = doc_dim.sparkSession
     row = doc_dim.agg(F.max("doc_idx")).first()
     start = int(row[0]) + 1 if row[0] is not None else 0
     fresh = (
@@ -1132,9 +1188,6 @@ def extend_doc_dim(doc_dim: DataFrame, new_corpus: DataFrame) -> DataFrame:
         .join(doc_dim.select("doc_id"), "doc_id", "left_anti")
         .repartitionByRange(max(new_corpus.rdd.getNumPartitions(), 8), "doc_id")
         .sortWithinPartitions("doc_id")
+        .localCheckpoint(eager=False)  # pin partition contents (see build_doc_dim)
     )
-    rdd = fresh.rdd.map(lambda r: r[0]).zipWithIndex().map(
-        lambda kv: (kv[0], kv[1] + start)
-    )
-    new_part = spark.createDataFrame(rdd, "doc_id string, doc_idx long")
-    return doc_dim.unionByName(new_part)
+    return doc_dim.unionByName(_dense_index(fresh, start=start))

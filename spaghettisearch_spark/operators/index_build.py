@@ -264,18 +264,25 @@ def build_index(
     """
     from pyspark import StorageLevel
 
-    tokens = tokenize_fields(corpus, cfg, links)
     # ONE exchange for every doc-keyed consumer (guide §2.4): hash-
-    # partitioning the token stream by doc_id up front lets
-    # build_postings (term, field, doc_id), build_doc_stats
-    # (doc_id, field), build_doc_meta's freq/top-words aggregations and
-    # the max-tf window (doc_id, field) all reuse this partitioning —
-    # previously each of them re-shuffled the full token volume.
+    # partitioning by doc_id up front lets build_postings
+    # (term, field, doc_id), build_doc_stats (doc_id, field),
+    # build_doc_meta's freq/top-words aggregations and the max-tf
+    # window (doc_id, field) all reuse this partitioning — previously
+    # each of them re-shuffled the full token volume.
     # HashPartitioning(doc_id) satisfies every one of those clustering
     # requirements because doc_id is in each grouping key, and a doc's
     # tokens are bounded by document length, so the partitioning is
-    # skew-free at any corpus size.
-    tokens = tokens.repartition("doc_id")
+    # skew-free at any corpus size. Without anchor links the exchange
+    # moves the RAW DOCUMENT rows and tokenization runs after it (narrow
+    # — partitioning survives): content bytes are several times smaller
+    # than the exploded token rows they become (guide §2.3, shuffle the
+    # lightweight form). With links, the anchor union erases any
+    # pre-union partitioning, so the exchange has to sit after it.
+    if links is None:
+        tokens = tokenize_fields(corpus.repartition("doc_id"), cfg, None)
+    else:
+        tokens = tokenize_fields(corpus, cfg, links).repartition("doc_id")
     if persist:
         tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
     postings = build_postings(tokens)
