@@ -797,15 +797,31 @@ def _dense_index(ids: DataFrame, start: int = 0) -> DataFrame:
     EVERY doc_id through a row-at-a-time Python lambda and re-created
     the DataFrame from Python rows (guide §4). Same two jobs (one
     per-partition count, one assignment), but both Arrow-vectorized.
-    """
+
+    The partition id comes from TaskContext INSIDE the UDFs, not from a
+    ``spark_partition_id()`` expression: that expression is
+    NON-DETERMINISTIC to Catalyst, and a nondeterministic node anywhere
+    in a cached frame's lineage breaks CacheManager plan-matching for
+    DOWNSTREAM caches built on top of it — measured as cached shard
+    frames silently recomputing their whole build inside composed
+    queries (12x query regression) while standalone scans hit the
+    cache. TaskContext keeps the plan fully deterministic."""
     import pandas as pd
+    from pyspark import TaskContext
+
+    def count_parts(batch_iter):
+        n = 0
+        for pdf in batch_iter:
+            n += len(pdf)
+        # one row per task, empty partitions included
+        yield pd.DataFrame(
+            {"p": [TaskContext.get().partitionId()], "n": [n]}
+        )
 
     counts = {
         int(r["p"]): int(r["n"])
-        for r in ids.select(F.spark_partition_id().alias("p"))
-        .groupBy("p")
-        .count()
-        .withColumnRenamed("count", "n")
+        for r in ids.select("doc_id")
+        .mapInPandas(count_parts, "p int, n long")
         .collect()
     }
     offsets = {}
@@ -821,7 +837,7 @@ def _dense_index(ids: DataFrame, start: int = 0) -> DataFrame:
                 yield pd.DataFrame({"doc_id": [], "doc_idx": []})
                 continue
             if base is None:
-                base = offsets[int(pdf["p"].iloc[0])]
+                base = offsets[int(TaskContext.get().partitionId())]
             n = len(pdf)
             yield pd.DataFrame(
                 {
@@ -831,7 +847,7 @@ def _dense_index(ids: DataFrame, start: int = 0) -> DataFrame:
             )
             base += n
 
-    return ids.select("doc_id", F.spark_partition_id().alias("p")).mapInPandas(
+    return ids.select("doc_id").mapInPandas(
         assign, "doc_id string, doc_idx long"
     )
 
@@ -857,7 +873,14 @@ def build_doc_dim(corpus: DataFrame) -> DataFrame:
         # so the checkpoint is correctness-bearing, not an optimization
         .localCheckpoint(eager=False)
     )
-    return _dense_index(ids)
+    # EAGER checkpoint of the finished dimension: the returned plan is a
+    # leaf LogicalRDD. Leaving the construction lineage (lazy checkpoint
+    # + mapInPandas) in the plan broke CacheManager plan-matching for
+    # DOWNSTREAM caches whose lineage embeds this dim (a cached shard
+    # frame silently recomputed its whole build inside composed queries,
+    # a measured 9x query regression, while standalone scans hit the
+    # cache). Every caller materializes the dim immediately anyway.
+    return _dense_index(ids).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1190,4 +1213,6 @@ def extend_doc_dim(doc_dim: DataFrame, new_corpus: DataFrame) -> DataFrame:
         .sortWithinPartitions("doc_id")
         .localCheckpoint(eager=False)  # pin partition contents (see build_doc_dim)
     )
-    return doc_dim.unionByName(_dense_index(fresh, start=start))
+    # eager leaf for the same plan-matching reason as build_doc_dim
+    new_rows = _dense_index(fresh, start=start).localCheckpoint(eager=True)
+    return doc_dim.unionByName(new_rows)
