@@ -206,11 +206,38 @@ def _encode_blocks(batch_iter):
     parallel lengths stream.
     """
     cols = [f.name for f in SHARD_SCHEMA.fields]
-    for pdf in batch_iter:
-        nb = len(pdf)
-        if nb == 0:
+    for whole in batch_iter:
+        if len(whole) == 0:
             yield pd.DataFrame({c: [] for c in cols})
             continue
+        # bound PEAK memory, not just batch row count: batch-level
+        # assembly holds concatenated + sorted + encoded copies of a
+        # chunk simultaneously, so slice the Arrow batch into chunks of
+        # at most ~1M postings (a handful of working arrays each tens of
+        # MB) — without this a 10k-row batch of hot blocks at larger
+        # corpora OOMed the 8g local heap where the per-block loop fit
+        whole_lens = np.fromiter(
+            (len(x) for x in whole["doc_keys"]), dtype=np.int64,
+            count=len(whole),
+        )
+        cum = np.cumsum(whole_lens)
+        chunk_edges = [0]
+        budget = 1 << 20
+        next_cut = budget
+        for i, c in enumerate(cum):
+            if c >= next_cut:
+                chunk_edges.append(i + 1)
+                next_cut = c + budget
+        if chunk_edges[-1] != len(whole):
+            chunk_edges.append(len(whole))
+        for lo, hi in zip(chunk_edges[:-1], chunk_edges[1:]):
+            yield _encode_block_frame(
+                whole.iloc[lo:hi].reset_index(drop=True), cols
+            )
+
+
+def _encode_block_frame(pdf, cols):
+        nb = len(pdf)
         # ---- batch-level assembly (round 6): the former per-block loop
         # paid ~0.4 ms of fixed numpy-call + row-tuple overhead per
         # block regardless of block size — at 72k blocks that dwarfed
@@ -358,7 +385,7 @@ def _encode_blocks(batch_iter):
         out["weights"] = wb
         out["positions"] = pb
         out["pos_lens"] = plb
-        yield pd.DataFrame(out, columns=cols)
+        return pd.DataFrame(out, columns=cols)
 
 
 def build_posting_shards(
@@ -597,14 +624,36 @@ def decode_shards(
         # batch-level decode (round 6): the former per-block loop paid
         # fixed numpy/pandas overhead per block (vb_decode calls, tiny
         # DataFrames, a pd.concat over thousands of frames). Varbyte is
-        # self-delimiting, so ALL blocks' streams decode in ONE pass
-        # over the concatenated buffers; per-block boundaries come from
-        # cumulative terminator counts at buffer edges.
-        for pdf in batch_iter:
-            nb = len(pdf)
-            if nb == 0:
+        # self-delimiting, so a CHUNK of blocks' streams decodes in ONE
+        # pass over the concatenated buffers; per-block boundaries come
+        # from cumulative terminator counts at buffer edges. Chunks are
+        # bounded by compressed doc_id bytes (~2 MB, i.e. ~1-2M
+        # postings) so peak decoded-arrays memory per task stays tens of
+        # MB regardless of how hot the batch's blocks are (same OOM
+        # guard as _encode_blocks).
+        for whole in batch_iter:
+            if len(whole) == 0:
                 yield pd.DataFrame({c: [] for c in out_cols})
                 continue
+            wlens = np.fromiter(
+                (len(b) for b in whole["doc_ids"]), np.int64,
+                count=len(whole),
+            )
+            cum = np.cumsum(wlens)
+            edges = [0]
+            budget = 2 << 20
+            next_cut = budget
+            for i, c in enumerate(cum):
+                if c >= next_cut:
+                    edges.append(i + 1)
+                    next_cut = c + budget
+            if edges[-1] != len(whole):
+                edges.append(len(whole))
+            for lo, hi in zip(edges[:-1], edges[1:]):
+                yield _decode_frame(whole.iloc[lo:hi].reset_index(drop=True))
+
+    def _decode_frame(pdf):
+            nb = len(pdf)
             bufs = pdf["doc_ids"].tolist()
             blens = np.fromiter((len(b) for b in bufs), np.int64, count=nb)
             joined = b"".join(bufs)
@@ -659,8 +708,7 @@ def decode_shards(
                 mask = None
             n_out = total if mask is None else int(mask.sum())
             if n_out == 0:
-                yield pd.DataFrame({c: [] for c in out_cols})
-                continue
+                return pd.DataFrame({c: [] for c in out_cols})
             block = {
                 "term": np.repeat(
                     pdf["term"].to_numpy(dtype=object), counts
@@ -702,7 +750,7 @@ def decode_shards(
                 for c in list(block):
                     if c != "positions":
                         block[c] = block[c][mask]
-            yield pd.DataFrame(block, columns=out_cols)
+            return pd.DataFrame(block, columns=out_cols)
 
     # only the REQUESTED payload columns cross Arrow — block metadata
     # (salt, max_weight, the per-block top-N samples) is planner-side,

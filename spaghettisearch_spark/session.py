@@ -62,7 +62,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs driver + executors in ONE JVM: the heap holds
+        # every cached table AND all concurrent tasks' aggregation and
+        # Arrow buffers (guide §5). 8g was arbitrary and sat within ~10%
+        # of OOM on 150k-doc corpora; size to the host (still overridden
+        # by $SPARK_DRIVER_MEM, and irrelevant on a real cluster where
+        # executors carry the data)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
